@@ -1,0 +1,71 @@
+"""Separable corner-aligned trilinear resize, MXU-friendly.
+
+Parity target: ``ne.utils.resize`` / ``vxm.layers.RescaleTransform`` /
+``vxm.utils.rescale_dense_transform`` (`bids_registration.py:398`). Neurite maps
+output voxel ``i`` to input coordinate ``i / zoom`` (corner-aligned at the
+origin, edge-clamped at the far side) — NOT the half-pixel-centered convention
+of ``jax.image.resize``. We therefore build explicit 1-D interpolation matrices
+and contract them along each axis; on TPU these small dense matmuls run on the
+MXU and XLA fuses the three contractions, which is far faster than a gather.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=128)
+def _interp_matrix(n_out: int, n_in: int, zoom: float) -> np.ndarray:
+    """M[i, j] weights so that out = M @ in samples in[i / zoom], edge-clamped."""
+    x = np.arange(n_out, dtype=np.float64) / zoom
+    x = np.clip(x, 0, n_in - 1)
+    lo = np.floor(x).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    w_hi = x - lo
+    M = np.zeros((n_out, n_in), dtype=np.float32)
+    M[np.arange(n_out), lo] += (1.0 - w_hi).astype(np.float32)
+    M[np.arange(n_out), hi] += w_hi.astype(np.float32)
+    return M
+
+
+def resize(vol: jnp.ndarray, zoom, out_shape=None) -> jnp.ndarray:
+    """Resize spatial dims of ``(X, Y, Z, [C])`` by ``zoom`` (scalar or 3-seq)."""
+    squeeze = vol.ndim == 3
+    if squeeze:
+        vol = vol[..., None]
+    if np.isscalar(zoom):
+        zoom = (zoom, zoom, zoom)
+    in_shape = vol.shape[:3]
+    if out_shape is None:
+        out_shape = tuple(int(round(s * z)) for s, z in zip(in_shape, zoom))
+    mats = [
+        jnp.asarray(_interp_matrix(int(o), int(s), float(z)))
+        for o, s, z in zip(out_shape, in_shape, zoom)
+    ]
+    dtype = vol.dtype if jnp.issubdtype(vol.dtype, jnp.floating) else jnp.float32
+    v = vol.astype(dtype)
+    # interpolation weights must not be rounded to bf16 — force full precision
+    hi = jax.lax.Precision.HIGHEST
+    v = jnp.einsum("ax,xyzd->ayzd", mats[0].astype(dtype), v, precision=hi)
+    v = jnp.einsum("by,xyzd->xbzd", mats[1].astype(dtype), v, precision=hi)
+    v = jnp.einsum("cz,xyzd->xycd", mats[2].astype(dtype), v, precision=hi)
+    return v[..., 0] if squeeze else v
+
+
+def rescale_field(flow: jnp.ndarray, factor, out_shape=None) -> jnp.ndarray:
+    """Resize a dense displacement field and scale its vectors by ``factor``.
+
+    Parity: ``vxm.layers.RescaleTransform`` (model-internal flow rescaling) and
+    ``vxm.utils.rescale_dense_transform`` (`bids_registration.py:398`).
+    """
+    if np.isscalar(factor):
+        f3 = (factor, factor, factor)
+    else:
+        f3 = tuple(factor)
+    out = resize(flow, f3, out_shape=out_shape)
+    scale = jnp.asarray(f3, dtype=out.dtype)
+    return out * scale

@@ -1,0 +1,160 @@
+"""Unit tests for core ops vs scipy golden values and algebraic properties."""
+
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+import jax.numpy as jnp
+
+from multimodal_registration_tpu import ops
+
+
+def _rand_vol(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=shape).astype(np.float32)
+
+
+class TestWarp:
+    def test_zero_flow_identity(self):
+        vol = _rand_vol((8, 9, 10))
+        flow = np.zeros((8, 9, 10, 3), np.float32)
+        out = np.asarray(ops.warp(jnp.asarray(vol), jnp.asarray(flow)))
+        np.testing.assert_allclose(out, vol, atol=1e-6)
+
+    def test_integer_shift(self):
+        vol = _rand_vol((8, 8, 8))
+        flow = np.zeros((8, 8, 8, 3), np.float32)
+        flow[..., 0] = 1.0  # sample vol at x+1
+        out = np.asarray(ops.warp(jnp.asarray(vol), jnp.asarray(flow)))
+        np.testing.assert_allclose(out[:-1], vol[1:], atol=1e-6)
+        # edge clamp: last slice samples the clamped boundary
+        np.testing.assert_allclose(out[-1], vol[-1], atol=1e-6)
+
+    def test_matches_scipy_map_coordinates(self):
+        vol = _rand_vol((12, 13, 14))
+        rng = np.random.default_rng(1)
+        flow = rng.normal(scale=1.5, size=(12, 13, 14, 3)).astype(np.float32)
+        out = np.asarray(ops.warp(jnp.asarray(vol), jnp.asarray(flow)))
+        grid = np.stack(np.meshgrid(*[np.arange(s) for s in vol.shape], indexing="ij"), -1)
+        coords = np.moveaxis(grid + flow, -1, 0)
+        # edge clamp == scipy 'nearest' mode with order-1 spline
+        ref = ndi.map_coordinates(vol.astype(np.float64), coords, order=1, mode="nearest")
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    def test_nearest(self):
+        vol = _rand_vol((6, 6, 6))
+        rng = np.random.default_rng(2)
+        flow = rng.normal(scale=1.1, size=(6, 6, 6, 3)).astype(np.float32)
+        out = np.asarray(ops.warp(jnp.asarray(vol), jnp.asarray(flow), interp="nearest"))
+        grid = np.stack(np.meshgrid(*[np.arange(s) for s in vol.shape], indexing="ij"), -1)
+        c = np.clip(grid + flow, 0, np.array(vol.shape) - 1)
+        idx = np.round(c).astype(int)  # numpy round = half-to-even, same as jnp
+        ref = vol[idx[..., 0], idx[..., 1], idx[..., 2]]
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    def test_channels(self):
+        vol = _rand_vol((5, 5, 5, 4))
+        flow = np.zeros((5, 5, 5, 3), np.float32)
+        out = np.asarray(ops.warp(jnp.asarray(vol), jnp.asarray(flow)))
+        assert out.shape == (5, 5, 5, 4)
+        np.testing.assert_allclose(out, vol, atol=1e-6)
+
+
+class TestResize:
+    def test_upsample_corner_aligned(self):
+        vol = _rand_vol((6, 6, 6))
+        out = np.asarray(ops.resize(jnp.asarray(vol), 2.0))
+        assert out.shape == (12, 12, 12)
+        # out[2i] == vol[i] (corner-aligned: out index i maps to in index i/2)
+        np.testing.assert_allclose(out[::2, ::2, ::2], vol, atol=1e-5)
+
+    def test_downsample(self):
+        vol = _rand_vol((8, 8, 8))
+        out = np.asarray(ops.resize(jnp.asarray(vol), 0.5))
+        assert out.shape == (4, 4, 4)
+        np.testing.assert_allclose(out, vol[::2, ::2, ::2], atol=1e-5)
+
+    def test_matches_scipy_linear(self):
+        vol = _rand_vol((7, 8, 9))
+        zoom = (1.7, 0.9, 2.3)
+        out_shape = tuple(int(round(s * z)) for s, z in zip(vol.shape, zoom))
+        out = np.asarray(ops.resize(jnp.asarray(vol), zoom))
+        coords = np.meshgrid(
+            *[np.clip(np.arange(o) / z, 0, s - 1) for o, z, s in zip(out_shape, zoom, vol.shape)],
+            indexing="ij",
+        )
+        ref = ndi.map_coordinates(vol.astype(np.float64), np.stack(coords), order=1, mode="nearest")
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    def test_rescale_field_scales_vectors(self):
+        flow = _rand_vol((6, 6, 6, 3))
+        out = np.asarray(ops.rescale_field(jnp.asarray(flow), 2.0))
+        assert out.shape == (12, 12, 12, 3)
+        np.testing.assert_allclose(out[::2, ::2, ::2], flow * 2.0, atol=1e-5)
+
+
+class TestIntegrate:
+    def test_zero_velocity(self):
+        vel = np.zeros((6, 6, 6, 3), np.float32)
+        out = np.asarray(ops.integrate_svf(jnp.asarray(vel), 5))
+        np.testing.assert_allclose(out, 0.0, atol=1e-7)
+
+    def test_constant_velocity_is_translation(self):
+        # A constant SVF integrates to (approximately) the same constant
+        # translation, up to boundary clamping effects.
+        vel = np.zeros((16, 16, 16, 3), np.float32)
+        vel[..., 2] = 2.0
+        out = np.asarray(ops.integrate_svf(jnp.asarray(vel), 5))
+        interior = out[4:-4, 4:-4, 4:-8]
+        np.testing.assert_allclose(interior[..., 2], 2.0, atol=1e-3)
+        np.testing.assert_allclose(interior[..., 0], 0.0, atol=1e-3)
+
+    def test_int_steps_zero_passthrough(self):
+        vel = _rand_vol((5, 5, 5, 3))
+        out = np.asarray(ops.integrate_svf(jnp.asarray(vel), 0))
+        np.testing.assert_allclose(out, vel)
+
+    def test_diffeomorphic_no_folding(self):
+        # strong random smooth SVF should integrate to a positive-Jacobian field
+        rng = np.random.default_rng(3)
+        coarse = rng.normal(scale=4.0, size=(4, 4, 4, 3)).astype(np.float32)
+        vel = np.asarray(ops.resize(jnp.asarray(coarse), 8.0))
+        phi = np.asarray(ops.integrate_svf(jnp.asarray(vel), 7))
+        # forward-difference Jacobian
+        J = np.zeros(phi.shape[:-1] + (3, 3))
+        for i in range(3):
+            J[..., i] = np.stack(np.gradient(phi[..., i], axis=(0, 1, 2)), -1)
+        J += np.eye(3)
+        det = np.linalg.det(J)
+        assert (det[2:-2, 2:-2, 2:-2] > 0).mean() > 0.999
+
+
+class TestCompose:
+    def test_compose_with_zero(self):
+        phi = _rand_vol((8, 8, 8, 3), seed=4)
+        zero = np.zeros_like(phi)
+        out = np.asarray(ops.compose_fields(jnp.asarray(phi), jnp.asarray(zero)))
+        np.testing.assert_allclose(out, phi, atol=1e-6)
+        out2 = np.asarray(ops.compose_fields(jnp.asarray(zero), jnp.asarray(phi)))
+        np.testing.assert_allclose(out2, phi, atol=1e-6)
+
+    def test_compose_equals_sequential_warp(self):
+        # phi2 = integer constant shift so the second warp samples exactly on
+        # the voxel grid: sequential warping and composed-field warping must
+        # then agree to float precision (away from the clamped boundary).
+        # This also pins down the composition ORDER (phi1 sampled at x+phi2).
+        rng = np.random.default_rng(5)
+        vol = _rand_vol((16, 16, 16))
+        phi1 = np.asarray(
+            ops.resize(jnp.asarray(rng.normal(scale=0.8, size=(4, 4, 4, 3)).astype(np.float32)), 4.0)
+        )
+        phi2 = np.zeros((16, 16, 16, 3), np.float32)
+        phi2[..., 1] = 2.0
+        seq = np.asarray(
+            ops.warp(ops.warp(jnp.asarray(vol), jnp.asarray(phi1)), jnp.asarray(phi2))
+        )
+        composed = ops.compose_fields(jnp.asarray(phi1), jnp.asarray(phi2))
+        one = np.asarray(ops.warp(jnp.asarray(vol), composed))
+        np.testing.assert_allclose(
+            one[2:-2, 2:-4, 2:-2], seq[2:-2, 2:-4, 2:-2], atol=1e-5
+        )
