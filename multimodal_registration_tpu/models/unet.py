@@ -70,7 +70,8 @@ class Unet(nn.Module):
             skips.append(x)
             x = nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2))
 
-        skips.pop()  # the deepest pre-pool activation is consumed first
+        # decoder: skips are popped deepest-first (enc_{N-1} … enc_0); the raw
+        # input stays unused, matching the vxm Unet's encoder history
         for i, f in enumerate(self.dec_nf[: nb_levels - 1]):
             x = ConvBlock(f, dtype=self.dtype, name=f"dec_{i}")(x)
             if i < (nb_levels - 1 - self.nb_upsample_skips):

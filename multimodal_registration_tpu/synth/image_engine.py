@@ -1,0 +1,127 @@
+"""SynthMorph grayscale-image engine, fully on device.
+
+Parity target: ``ne.models.labels_to_image`` as configured by the reference
+(`train_synthmorph.py:258-268,288-291`; parameter semantics documented at
+`config/README.md:28-35`):
+
+  1. map raw label values to contiguous indices,
+  2. draw a random SVF (Perlin noise at relative resolution ``vel_res``, std
+     ~ U(0, ``vel_std``)), integrate it (scaling-and-squaring), and warp the
+     label map (nearest),
+  3. draw per-label Gaussian intensities — means ~ U(25, 225), stds ~
+     U(5, 25), the SynthMorph uint8-range defaults — optionally zeroing the
+     background with probability ``zero_background``,
+  4. Gaussian blur with std ~ U(0, ``blur_std``) (separable 1-D convs),
+  5. multiplicative bias field ``exp(perlin(bias_res, U(0, bias_std)))``,
+  6. min-max normalize to [0, 1],
+  7. gamma augmentation ``img ** exp(N(0, gamma))``.
+
+Returns ``(image, one_hot(warped labels))`` — the two outputs consumed by the
+training graph (`train_synthmorph.py:290-298`). Everything is jax.random keyed
+and jit/vmap-compatible, so image synthesis fuses into the training step and no
+synthetic image ever touches the host (the reference materializes label maps on
+host every batch — SURVEY §3.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_registration_tpu.ops.integrate import integrate_svf
+from multimodal_registration_tpu.ops.warp import warp
+from multimodal_registration_tpu.synth.perlin import draw_perlin
+
+
+@dataclass(frozen=True)
+class ImageEngineConfig:
+    """Key names follow `config/config.json:23-28`."""
+
+    num_labels: int = 26
+    vel_std: float = 3.0  # warp_std
+    vel_res: float = 16.0  # warp_res (relative resolution of the SVF noise)
+    bias_std: float = 0.3
+    bias_res: float = 40.0
+    blur_std: float = 1.0  # max blur std
+    gamma: float = 0.25  # gamma_std
+    mean_min: float = 25.0
+    mean_max: float = 225.0
+    std_min: float = 5.0
+    std_max: float = 25.0
+    zero_background: float = 0.2  # neurite labels_to_image default
+    int_steps: int = 5
+    blur_radius: int = 3  # static kernel radius (≥ 3·blur_std covers the mass)
+
+
+def _gaussian_blur(img: jnp.ndarray, sigma: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Separable 3-D Gaussian blur with traced sigma and static kernel width."""
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    sig = jnp.maximum(sigma, 1e-4)
+    k = jnp.exp(-0.5 * (x / sig) ** 2)
+    k = k / jnp.sum(k)
+    out = img
+    for axis in range(3):
+        perm = [axis] + [a for a in range(3) if a != axis]
+        inv = [perm.index(a) for a in range(3)]
+        v = jnp.transpose(out, perm).reshape(img.shape[perm[0]], -1)
+        v = jax.vmap(lambda col: jnp.convolve(col, k, mode="same"), in_axes=1, out_axes=1)(v)
+        out = jnp.transpose(
+            v.reshape([img.shape[p] for p in perm]), inv
+        )
+    return out
+
+
+def labels_to_image(
+    key: jax.Array,
+    label_map: jnp.ndarray,
+    cfg: ImageEngineConfig,
+):
+    """Synthesize ``(image (X,Y,Z), one_hot_map (X,Y,Z,L))`` from an integer
+    label map whose values already lie in ``[0, num_labels)``."""
+    shape = label_map.shape
+    L = cfg.num_labels
+    (k_svf, k_mean, k_std, k_noise, k_blur, k_bias, k_gamma, k_zbg) = jax.random.split(key, 8)
+
+    # 2. random diffeomorphic deformation of the label map
+    if cfg.vel_std > 0:
+        svf = draw_perlin(k_svf, (*shape, 3), [cfg.vel_res], max_std=cfg.vel_std)
+        phi = integrate_svf(svf, cfg.int_steps)
+        lab = warp(label_map.astype(jnp.float32), phi, interp="nearest")
+    else:
+        lab = label_map.astype(jnp.float32)
+    lab_idx = lab.astype(jnp.int32)
+
+    # 3. per-label Gaussian intensities
+    means = jax.random.uniform(k_mean, (L,), minval=cfg.mean_min, maxval=cfg.mean_max)
+    stds = jax.random.uniform(k_std, (L,), minval=cfg.std_min, maxval=cfg.std_max)
+    if cfg.zero_background > 0:
+        zero_bg = jax.random.uniform(k_zbg, ()) < cfg.zero_background
+        means = means.at[0].set(jnp.where(zero_bg, 0.0, means[0]))
+        stds = stds.at[0].set(jnp.where(zero_bg, 0.0, stds[0]))
+    img = means[lab_idx] + stds[lab_idx] * jax.random.normal(k_noise, shape)
+
+    # 4. blur
+    if cfg.blur_std > 0:
+        sigma = jax.random.uniform(k_blur, (), minval=0.0, maxval=cfg.blur_std)
+        img = _gaussian_blur(img, sigma, cfg.blur_radius)
+
+    # 5. bias field
+    if cfg.bias_std > 0:
+        bias = draw_perlin(k_bias, (*shape, 1), [cfg.bias_res], max_std=cfg.bias_std)[..., 0]
+        img = img * jnp.exp(bias)
+
+    # 6. min-max normalize
+    lo = jnp.min(img)
+    hi = jnp.max(img)
+    img = (img - lo) / jnp.maximum(hi - lo, 1e-7)
+
+    # 7. gamma
+    if cfg.gamma > 0:
+        g = jnp.exp(cfg.gamma * jax.random.normal(k_gamma, ()))
+        img = jnp.power(jnp.clip(img, 1e-7, 1.0), g)
+
+    one_hot = jax.nn.one_hot(lab_idx, L, dtype=jnp.float32)
+    return img, one_hot

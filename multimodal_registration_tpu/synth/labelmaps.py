@@ -1,0 +1,63 @@
+"""On-device random label-map synthesis.
+
+Parity target: ``generate_label_maps`` (`train_synthmorph.py:31-82`): draw a
+multi-channel Perlin noise image (one channel per label), deform each channel
+by its own Perlin warp, and take the voxelwise argmax to obtain a uint8 label
+map. The reference runs this per-map on host TF (SURVEY §3.1 hot loop (b));
+here each map is one jit call, and channels are processed with ``lax.map`` so
+peak memory is O(volume), not O(volume × labels).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_registration_tpu.ops.warp import warp
+from multimodal_registration_tpu.synth.perlin import draw_perlin
+
+
+def generate_label_map(
+    key: jax.Array,
+    in_shape: Sequence[int],
+    num_labels: int,
+    im_scales: Sequence[float] = (16, 32, 64),
+    def_scales: Sequence[float] = (8, 16, 32),
+    im_max_std: float = 1.0,
+    def_max_std: float = 3.0,
+) -> jnp.ndarray:
+    """One ``(X, Y, Z)`` uint8 label map (values in ``[0, num_labels)``)."""
+    in_shape = tuple(int(s) for s in in_shape)
+    keys = jax.random.split(key, num_labels)
+
+    def channel(k):
+        k_im, k_def = jax.random.split(k)
+        im = draw_perlin(k_im, (*in_shape, 1), im_scales, max_std=im_max_std)[..., 0]
+        wf = draw_perlin(k_def, (*in_shape, 3), def_scales, max_std=def_max_std)
+        return warp(im, wf, interp="linear")
+
+    # lax.map keeps only one channel's temporaries live at a time
+    warped = jax.lax.map(channel, keys)  # (L, X, Y, Z)
+    return jnp.argmax(warped, axis=0).astype(jnp.uint8)
+
+
+def generate_label_maps(
+    key: jax.Array,
+    num_maps: int,
+    in_shape: Sequence[int],
+    num_labels: int,
+    **kwargs,
+):
+    """Host-side loop producing ``num_maps`` maps (each a single jit call)."""
+    import numpy as np
+
+    fn = jax.jit(
+        lambda k: generate_label_map(k, in_shape, num_labels, **kwargs)
+    )
+    maps = []
+    for i in range(num_maps):
+        key, sub = jax.random.split(key)
+        maps.append(np.asarray(fn(sub)))
+    return maps

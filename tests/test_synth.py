@@ -1,0 +1,118 @@
+"""Tests for the on-device synthesis engine."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_registration_tpu import synth
+
+
+class TestPerlin:
+    def test_shape_and_determinism(self):
+        key = jax.random.PRNGKey(0)
+        a = synth.draw_perlin(key, (16, 16, 16, 2), scales=[4, 8], max_std=1.0)
+        b = synth.draw_perlin(key, (16, 16, 16, 2), scales=[4, 8], max_std=1.0)
+        assert a.shape == (16, 16, 16, 2)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_std_bounds(self):
+        key = jax.random.PRNGKey(1)
+        out = synth.draw_perlin(key, (24, 24, 24, 1), scales=[2], max_std=0.0)
+        np.testing.assert_allclose(np.asarray(out), 0.0)
+
+    def test_multiscale_is_sum(self):
+        # single-scale draws summed give same statistics family; just smoke
+        key = jax.random.PRNGKey(2)
+        out = synth.draw_perlin(key, (8, 8, 8), scales=[1], min_std=1.0, max_std=1.0)
+        assert 0.5 < float(jnp.std(out)) < 1.5
+
+    def test_5d_field_shape(self):
+        # per-channel warps: (X, Y, Z, L, 3) as in train_synthmorph.py:61-64
+        key = jax.random.PRNGKey(3)
+        out = synth.draw_perlin(key, (8, 8, 8, 4, 3), scales=[4], max_std=2.0)
+        assert out.shape == (8, 8, 8, 4, 3)
+
+
+class TestLabelMaps:
+    def test_generate_label_map(self):
+        key = jax.random.PRNGKey(0)
+        lab = synth.generate_label_map(
+            key, (16, 16, 16), num_labels=5, im_scales=[4, 8], def_scales=[4],
+        )
+        lab = np.asarray(lab)
+        assert lab.shape == (16, 16, 16)
+        assert lab.dtype == np.uint8
+        assert lab.max() < 5
+        # a healthy map uses several labels
+        assert len(np.unique(lab)) >= 3
+
+    def test_generate_many(self):
+        maps = synth.generate_label_maps(
+            jax.random.PRNGKey(1), 3, (8, 8, 8), 4, im_scales=[4], def_scales=[4]
+        )
+        assert len(maps) == 3
+        assert all(m.shape == (8, 8, 8) for m in maps)
+
+
+class TestImageEngine:
+    def test_outputs(self):
+        cfg = synth.ImageEngineConfig(
+            num_labels=4, vel_res=4.0, bias_res=8.0, blur_radius=2
+        )
+        key = jax.random.PRNGKey(0)
+        lab = jax.random.randint(jax.random.PRNGKey(9), (16, 16, 16), 0, 4)
+        img, onehot = synth.labels_to_image(key, lab, cfg)
+        img, onehot = np.asarray(img), np.asarray(onehot)
+        assert img.shape == (16, 16, 16)
+        assert onehot.shape == (16, 16, 16, 4)
+        assert img.min() >= 0.0 and img.max() <= 1.0 + 1e-5
+        # one-hot rows sum to 1
+        np.testing.assert_allclose(onehot.sum(-1), 1.0)
+
+    def test_jit_and_vmap(self):
+        cfg = synth.ImageEngineConfig(num_labels=3, vel_res=4.0, bias_res=8.0, blur_radius=2)
+        lab = jax.random.randint(jax.random.PRNGKey(9), (2, 8, 8, 8), 0, 3)
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        f = jax.jit(jax.vmap(lambda k, l: synth.labels_to_image(k, l, cfg)))
+        img, onehot = f(keys, lab)
+        assert img.shape == (2, 8, 8, 8)
+        assert onehot.shape == (2, 8, 8, 8, 3)
+
+
+class TestAugment:
+    def test_flips_consistent_pair(self):
+        key = jax.random.PRNGKey(4)
+        a = jnp.arange(8 * 8 * 8, dtype=jnp.float32).reshape(8, 8, 8)
+        b = a * 2
+        fa, fb = synth.random_flips(key, (a, b))
+        # flips must be the same for both volumes
+        np.testing.assert_allclose(np.asarray(fb), np.asarray(fa) * 2)
+
+    def test_flip_distribution(self):
+        # over many keys, each axis should be flipped ~50% of the time
+        flips = []
+        x = jnp.arange(4 * 4 * 4, dtype=jnp.float32).reshape(4, 4, 4)
+        for i in range(64):
+            (y,) = synth.random_flips(jax.random.PRNGKey(i), (x,))
+            flips.append(not np.allclose(np.asarray(y)[:, 0, 0], np.asarray(x)[:, 0, 0]))
+        frac = np.mean(flips)
+        assert 0.25 < frac < 0.75
+
+    def test_zero_borders_box(self):
+        key = jax.random.PRNGKey(5)
+        vol = jnp.ones((16, 16, 16))
+        out = np.asarray(synth.random_zero_borders(key, vol, scale=4))
+        # inner half of the volume must be untouched (borders only affect
+        # up to 1/scale = 1/4 of each side)
+        assert out[4:12, 4:12, 4:12].min() == 1.0
+        assert out.min() >= 0.0
+
+    def test_maybe_zero_borders_frac(self):
+        vol = jnp.ones((8, 8, 8))
+        changed = 0
+        for i in range(32):
+            out = synth.maybe_zero_borders(jax.random.PRNGKey(i), vol, 4, 0.5)
+            changed += int(np.asarray(out).sum() < vol.size)
+        assert 4 < changed < 28
