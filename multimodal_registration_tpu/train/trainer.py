@@ -1,0 +1,232 @@
+"""SynthMorph training loop — pjit over a device mesh with fused on-device
+synthesis.
+
+Parity target: the training driver + hot loop of `train_synthmorph.py:168-344`
+(SURVEY §3.1). Differences by design (TPU-first):
+
+  * label-map → image synthesis runs **inside the jitted train step** (the
+    reference synthesizes in-graph too, but feeds label maps from a host
+    generator each step; here the whole label-map bank lives in HBM and the
+    step gathers from it, so the input pipeline is never host-bound),
+  * data parallelism = batch sharding over a ``Mesh('data','space')`` with
+    XLA-inserted gradient all-reduce over ICI (vs ``MirroredStrategy``,
+    `train_synthmorph.py:284-285`),
+  * checkpointing via Orbax with an ``.npz`` portable export and an h5 import
+    shim for the published pretrained models (`README.md:89-91`).
+
+Loss parity (`train_synthmorph.py:301-308`): ``dice(map_2, pred) + 1`` (the
+zero-pad-masked variant when zero-border augmentation is on) plus
+``Grad('l2', reg_param)`` on the full-resolution integrated flow.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from multimodal_registration_tpu.losses import dice_loss, dice_loss_zeropad, grad_loss
+from multimodal_registration_tpu.models.vxm_dense import VxmConfig, VxmDense
+from multimodal_registration_tpu.ops.warp import warp
+from multimodal_registration_tpu.parallel.mesh import make_mesh
+from multimodal_registration_tpu.synth.augment import maybe_zero_borders, random_flips
+from multimodal_registration_tpu.synth.image_engine import ImageEngineConfig, labels_to_image
+from multimodal_registration_tpu.train.config import TrainConfig
+
+
+def engine_config_from(cfg: TrainConfig) -> ImageEngineConfig:
+    return ImageEngineConfig(
+        num_labels=cfg.num_labels,
+        vel_std=cfg.vel_std,
+        vel_res=cfg.vel_res,
+        bias_std=cfg.bias_std,
+        bias_res=cfg.bias_res,
+        blur_std=cfg.blur_std,
+        gamma=cfg.gamma,
+    )
+
+
+def vxm_config_from(cfg: TrainConfig) -> VxmConfig:
+    return VxmConfig(
+        enc=tuple(cfg.enc),
+        dec=tuple(cfg.dec),
+        int_steps=cfg.int_steps,
+        int_res=cfg.int_res,
+        svf_res=cfg.svf_res,
+        compute_dtype=cfg.compute_dtype,
+    )
+
+
+def make_loss_fn(model: VxmDense, engine_cfg: ImageEngineConfig, cfg: TrainConfig,
+                 zero_borders: bool):
+    """Build the per-batch loss: augment → synthesize → register → Dice+Grad."""
+
+    use_zeropad = cfg.zero_borders_maps or cfg.zero_borders_maps_val
+
+    def synthesize(key, src_lab, trg_lab):
+        def per_sample(k, s, t):
+            k_flip, k_zb_s, k_zb_t, k_g1, k_g2 = jax.random.split(k, 5)
+            s, t = random_flips(k_flip, (s, t))
+            if zero_borders:
+                s = maybe_zero_borders(k_zb_s, s, cfg.zero_bord_scale, cfg.zero_bord_frac)
+                t = maybe_zero_borders(k_zb_t, t, cfg.zero_bord_scale, cfg.zero_bord_frac)
+            img1, map1 = labels_to_image(k_g1, s, engine_cfg)
+            img2, map2 = labels_to_image(k_g2, t, engine_cfg)
+            return img1, map1, img2, map2
+
+        keys = jax.random.split(key, src_lab.shape[0])
+        return jax.vmap(per_sample)(keys, src_lab, trg_lab)
+
+    def loss_fn(params, key, src_lab, trg_lab):
+        img1, map1, img2, map2 = synthesize(key, src_lab, trg_lab)
+        out = model.apply(params, img1[..., None], img2[..., None])
+        flow = out["flow_fullres"]
+        pred = jax.vmap(lambda m, f: warp(m, f, interp="linear"))(map1, flow)
+        d = dice_loss_zeropad(map2, pred) if use_zeropad else dice_loss(map2, pred)
+        g = grad_loss(flow, "l2", cfg.reg_param)
+        loss = d + 1.0 + g
+        return loss, {"dice_loss": d, "grad_loss": g, "loss": loss}
+
+    return loss_fn
+
+
+class Trainer:
+    """Owns mesh, model, optimizer, compiled steps, and checkpoints."""
+
+    def __init__(self, cfg: TrainConfig, mesh=None):
+        self.cfg = cfg
+        if mesh is None:
+            n_dev = cfg.num_devices
+            if n_dev is None:
+                # largest device count that divides the batch (parity with the
+                # reference's divisibility assert, train_synthmorph.py:193-194,
+                # but auto-sized instead of failing)
+                avail = len(jax.devices())
+                n_dev = max(n for n in range(1, avail + 1) if cfg.batch_size % n == 0)
+            mesh = make_mesh(n_dev)
+        self.mesh = mesh
+        self.vxm_cfg = vxm_config_from(cfg)
+        self.engine_cfg = engine_config_from(cfg)
+        self.model = VxmDense(cfg=self.vxm_cfg)
+        self.optimizer = optax.adam(cfg.lr)
+
+        self._repl = NamedSharding(self.mesh, P())
+        self._batched = NamedSharding(self.mesh, P("data"))
+
+        loss_tr = make_loss_fn(self.model, self.engine_cfg, cfg, cfg.zero_borders_maps)
+        loss_val = make_loss_fn(self.model, self.engine_cfg, cfg, cfg.zero_borders_maps_val)
+
+        def train_step(params, opt_state, key, src, trg):
+            (loss, aux), grads = jax.value_and_grad(loss_tr, has_aux=True)(
+                params, key, src, trg
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, aux
+
+        def val_step(params, key, src, trg):
+            _, aux = loss_val(params, key, src, trg)
+            return aux
+
+        # batch shardings are inherited from put_batch placement (data-sharded
+        # when divisible by the mesh, replicated otherwise, e.g. val batch 1)
+        self.train_step = jax.jit(
+            train_step,
+            in_shardings=(self._repl, self._repl, self._repl, None, None),
+            out_shardings=(self._repl, self._repl, self._repl),
+            donate_argnums=(0, 1),
+        )
+        self.val_step = jax.jit(
+            val_step,
+            in_shardings=(self._repl, self._repl, None, None),
+            out_shardings=self._repl,
+        )
+
+    # -- state ---------------------------------------------------------------
+    def init_state(self, seed: Optional[int] = None):
+        key = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
+        in_shape = tuple(self.cfg.in_shape)
+        dummy = jnp.zeros((1, *in_shape, 1), jnp.float32)
+        params = self.model.init(key, dummy, dummy)
+        params = jax.device_put(params, self._repl)
+        opt_state = jax.device_put(self.optimizer.init(params), self._repl)
+        return params, opt_state
+
+    def put_batch(self, src: np.ndarray, trg: np.ndarray):
+        n = self.mesh.shape["data"]
+        sh = self._batched if src.shape[0] % n == 0 else self._repl
+        return jax.device_put(src, sh), jax.device_put(trg, sh)
+
+    # -- checkpoints ---------------------------------------------------------
+    def save_checkpoint(self, path: str, params, opt_state=None, epoch: int = 0):
+        """Orbax checkpoint dir + portable flat .npz alongside."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        ckptr = ocp.PyTreeCheckpointer()
+        payload = {"params": params, "epoch": np.asarray(epoch)}
+        if opt_state is not None:
+            payload["opt_state"] = opt_state
+        ckptr.save(path, payload, force=True)
+        # flat npz export (shape-agnostic conv weights; portable archive)
+        flat = _flatten_params(params)
+        np.savez(path + ".npz", **flat)
+
+    def load_checkpoint(self, path: str, with_opt: bool = False):
+        params, opt_state, epoch = load_checkpoint_any(path, self)
+        params = jax.device_put(params, self._repl)
+        if with_opt and opt_state is not None:
+            opt_state = jax.device_put(opt_state, self._repl)
+            return params, opt_state, epoch
+        return params, None, epoch
+
+
+def _flatten_params(params) -> dict:
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for path, leaf in flat:
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        out[name] = np.asarray(leaf)
+    return out
+
+
+def _unflatten_params(template, flat: dict):
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    new_leaves = []
+    for path, leaf in leaves:
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        if name not in flat:
+            raise KeyError(f"missing param {name} in checkpoint")
+        arr = np.asarray(flat[name])
+        if arr.shape != leaf.shape:
+            raise ValueError(f"shape mismatch for {name}: {arr.shape} vs {leaf.shape}")
+        new_leaves.append(jnp.asarray(arr, leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def load_checkpoint_any(path: str, trainer: "Trainer"):
+    """Load orbax dir, .npz flat archive, or Keras .h5 (pretrained import)."""
+    params_template, _ = trainer.init_state()
+    if path.endswith(".npz"):
+        flat = dict(np.load(path))
+        return _unflatten_params(params_template, flat), None, 0
+    if path.endswith((".h5", ".hdf5")):
+        from multimodal_registration_tpu.models.h5_import import import_keras_vxm_h5
+
+        params = import_keras_vxm_h5(path, params_template, trainer.vxm_cfg)
+        return params, None, 0
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path))
+    params = restored["params"]
+    return params, restored.get("opt_state"), int(np.asarray(restored.get("epoch", 0)))

@@ -1,0 +1,89 @@
+"""End-to-end training smoke tests (tiny shapes, CPU mesh)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from multimodal_registration_tpu.train.config import TrainConfig
+from multimodal_registration_tpu.train.cli import run_training
+from multimodal_registration_tpu.train.trainer import Trainer
+
+
+def tiny_cfg(tmp_path, **overrides):
+    base = dict(
+        in_shape=[16, 16, 16],
+        num_labels=4,
+        num_maps=6,
+        im_scales=[4, 8],
+        def_scales=[4],
+        epochs=2,
+        batch_size=2,
+        batch_size_val=1,
+        save_freq=1,
+        vel_res=4.0,
+        bias_res=8.0,
+        enc=[4, 4, 4, 4],
+        dec=[4, 4, 4, 4, 4, 4],
+        model_dir=str(tmp_path / "models"),
+        log_dir=str(tmp_path / "logs"),
+        label_dir=str(tmp_path / "labels"),
+        save_label=False,
+        compute_dtype="float32",
+        lr=1e-3,
+    )
+    base.update(overrides)
+    return TrainConfig.from_dict(base)
+
+
+def test_smoke_train_loss_decreases(tmp_path):
+    cfg = tiny_cfg(tmp_path, epochs=6)
+    out = run_training(cfg)
+    hist = out["history"]
+    assert len(hist) == 6
+    first, last = hist[0]["loss"], hist[-1]["loss"]
+    assert np.isfinite(first) and np.isfinite(last)
+    # loss = -dice + 1 + reg: must improve on average over 6 tiny epochs
+    assert last < first
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_cfg(tmp_path, epochs=1)
+    out = run_training(cfg)
+    trainer = Trainer(cfg)
+    ckpt = os.path.join(cfg.model_dir, "final")
+    params, _, epoch = trainer.load_checkpoint(ckpt)
+    a = jax.tree_util.tree_leaves(out["params"])
+    b = jax.tree_util.tree_leaves(params)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+    # npz flat export exists too
+    assert os.path.exists(ckpt + ".npz")
+
+
+def test_npz_warm_start(tmp_path):
+    cfg = tiny_cfg(tmp_path, epochs=1)
+    out = run_training(cfg)
+    ckpt = os.path.join(cfg.model_dir, "final.npz")
+    cfg2 = tiny_cfg(tmp_path, epochs=1, bool_init_weights=True, init_weights=ckpt,
+                    model_dir=str(tmp_path / "m2"))
+    out2 = run_training(cfg2)
+    assert len(out2["history"]) == 1
+
+
+def test_zero_border_training_path(tmp_path):
+    cfg = tiny_cfg(tmp_path, epochs=1, zero_borders_maps=True)
+    out = run_training(cfg)
+    assert np.isfinite(out["history"][0]["loss"])
+
+
+def test_dp_sharding_over_virtual_mesh(tmp_path):
+    """Train step sharded over all 8 virtual CPU devices."""
+    assert len(jax.devices()) == 8
+    cfg = tiny_cfg(tmp_path, epochs=1, batch_size=8, num_maps=8)
+    out = run_training(cfg)
+    assert np.isfinite(out["history"][0]["loss"])
