@@ -1,0 +1,157 @@
+"""Inference CLIs — drop-in equivalents of the reference entry points:
+
+  * ``pair_registration``      ← `3d_reg.py:428-461` (standalone pair)
+  * ``bids_registration``      ← `bids_registration.py:444-474`
+  * ``bids_two_steps``         ← `bids_two_steps_registration.py` CLI
+  * ``gen_apply_def_field``    ← `gen_apply_def_field.py:19-80`
+
+The reference's ``--one-cpu-tf`` flag (pinning TF to one CPU so
+``sct_run_batch -jobs N`` processes don't oversubscribe,
+`bids_registration.py:460-472`) maps here to capping XLA host threads.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from multimodal_registration_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
+from multimodal_registration_tpu.infer.cascade import register_two_steps
+from multimodal_registration_tpu.infer.config import InferenceConfig
+from multimodal_registration_tpu.infer.register import Registrar, load_params_any, register
+from multimodal_registration_tpu.utils import io as vio
+from multimodal_registration_tpu.utils import nifti
+
+
+def _bool_flag(s: str) -> bool:
+    return str(s).lower() in ("1", "true", "yes")
+
+
+def _maybe_one_cpu(flag: str):
+    if _bool_flag(flag):
+        os.environ.setdefault("XLA_FLAGS", "")
+        if "intra_op_parallelism" not in os.environ["XLA_FLAGS"]:
+            os.environ["XLA_FLAGS"] += " --xla_cpu_multi_thread_eigen=false"
+        os.environ.setdefault("OMP_NUM_THREADS", "1")
+
+
+def pair_registration(argv=None):
+    p = argparse.ArgumentParser(description="Register a pair of 3-D volumes (3d_reg parity).")
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--config-path", required=True)
+    p.add_argument("--fx-img-path", required=True)
+    p.add_argument("--mov-img-path", required=True)
+    p.add_argument("--fx-img-contrast", default="T1w")
+    p.add_argument("--res-dir", default="res")
+    p.add_argument("--out-img-name", default="warped_im")
+    p.add_argument("--def-field-name", default="deform_field")
+    p.add_argument("--one-cpu-tf", default="True")
+    args = p.parse_args(argv)
+    _maybe_one_cpu(args.one_cpu_tf)
+
+    cfg = InferenceConfig.from_json(args.config_path)
+    params = load_params_any(args.model_path, cfg)
+    reg = Registrar(cfg, params)
+    return register(
+        cfg,
+        reg,
+        args.fx_img_path,
+        args.mov_img_path,
+        fx_contrast=args.fx_img_contrast,
+        naming="standalone",
+        res_dir=args.res_dir,
+        out_im_name=args.out_img_name,
+        out_field_name=args.def_field_name,
+    )
+
+
+def bids_registration(argv=None):
+    p = argparse.ArgumentParser(description="BIDS single-model registration (bids_registration parity).")
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--config-path", required=True)
+    p.add_argument("--fx-img-path", required=True)
+    p.add_argument("--mov-img-path", required=True)
+    p.add_argument("--fx-img-contrast", default="T1w")
+    p.add_argument("--one-cpu-tf", default="True")
+    args = p.parse_args(argv)
+    _maybe_one_cpu(args.one_cpu_tf)
+
+    cfg = InferenceConfig.from_json(args.config_path)
+    params = load_params_any(args.model_path, cfg)
+    reg = Registrar(cfg, params)
+    return register(
+        cfg, reg, args.fx_img_path, args.mov_img_path,
+        fx_contrast=args.fx_img_contrast, naming="bids",
+    )
+
+
+def bids_two_steps(argv=None):
+    p = argparse.ArgumentParser(description="BIDS two-step cascade registration.")
+    p.add_argument("--model1-path", required=True)
+    p.add_argument("--model2-path", required=True)
+    p.add_argument("--config-path", required=True)
+    p.add_argument("--fx-img-path", required=True)
+    p.add_argument("--mov-img-path", required=True)
+    p.add_argument("--fx-img-contrast", default="T1w")
+    p.add_argument("--one-cpu-tf", default="True")
+    args = p.parse_args(argv)
+    _maybe_one_cpu(args.one_cpu_tf)
+
+    cfg = InferenceConfig.from_json(args.config_path)
+    reg1 = Registrar(cfg, load_params_any(args.model1_path, cfg))
+    reg2 = Registrar(cfg, load_params_any(args.model2_path, cfg))
+    return register_two_steps(
+        cfg, reg1, reg2, args.fx_img_path, args.mov_img_path,
+        fx_contrast=args.fx_img_contrast,
+    )
+
+
+def gen_apply_def_field(argv=None):
+    """Generate a Perlin deformation field and apply it to a volume
+    (`gen_apply_def_field.py` parity)."""
+    import jax
+
+    from multimodal_registration_tpu.ops.warp import warp as device_warp
+    from multimodal_registration_tpu.synth.perlin import draw_perlin
+
+    p = argparse.ArgumentParser(description="Deform an image with a generated deformation field.")
+    p.add_argument("--im-path", required=True)
+    p.add_argument("--res-dir", default="res")
+    p.add_argument("--out-im-name", default="moved_im")
+    p.add_argument("--out-def-name", default="deformation_field")
+    p.add_argument("--def-scales", type=int, nargs="+", default=[16, 32, 64])
+    p.add_argument("--def-max-std", type=float, default=3)
+    p.add_argument("--interp", default="linear")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    img = nifti.load(args.im_path)
+    os.makedirs(args.res_dir, exist_ok=True)
+    shape = img.shape[:3]
+    field = np.asarray(
+        draw_perlin(
+            jax.random.PRNGKey(args.seed), (*shape, 1, 3),
+            scales=args.def_scales, max_std=args.def_max_std,
+        )
+    )
+    out_def_path = os.path.join(args.res_dir, f"{args.out_def_name}.nii.gz")
+    nifti.save(nifti.NiftiImage(field[..., 0, :], img.affine), out_def_path)
+
+    import jax.numpy as jnp
+
+    moved = np.asarray(
+        device_warp(
+            jnp.asarray(img.get_fdata(), jnp.float32),
+            jnp.asarray(field[..., 0, :], jnp.float32),
+            interp=args.interp,
+        )
+    )
+    out_im_path = os.path.join(args.res_dir, f"{args.out_im_name}.nii.gz")
+    vio.save_volfile(moved, out_im_path, img.affine)
+    return {"def_field": out_def_path, "moved": out_im_path}

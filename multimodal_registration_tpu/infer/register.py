@@ -1,0 +1,269 @@
+"""Single-model registration flow: preprocess → jitted model → field assembly
+→ NIfTI postprocess.
+
+Parity target: ``register``/``run_main`` of `bids_registration.py:274-441` and
+`3d_reg.py:262-425`. Output-file naming contract is preserved exactly
+(``*_proc``, ``*_proc_reg_to_<CONTRAST>``, ``*_proc_field_to_<CONTRAST>`` with
+NIfTI intent 1007, ``*_reg_original_dim``, ``*_warp_original_dim``).
+
+Bug fixed from the reference: `3d_reg.py:421` references an undefined
+``fx_contrast`` (NameError) — here the standalone path takes an explicit
+contrast label with a default.
+
+TPU notes: the model runs jitted per (bucketed floor16) shape; the subvolume
+path batches ALL tiles into one device call (the reference predicts tile by
+tile, `bids_registration.py:344-348`) and blends on device.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_registration_tpu.infer.blend import blend_subvol_fields
+from multimodal_registration_tpu.infer.config import InferenceConfig
+from multimodal_registration_tpu.infer.preprocess import preprocess
+from multimodal_registration_tpu.models.vxm_dense import VxmConfig, VxmDense
+from multimodal_registration_tpu.ops.resample import affine_resample
+from multimodal_registration_tpu.ops.resize import rescale_field
+from multimodal_registration_tpu.ops.warp import warp as device_warp
+from multimodal_registration_tpu.utils import nifti
+
+
+class Registrar:
+    """Holds params + per-shape jitted apply functions."""
+
+    def __init__(self, cfg: InferenceConfig, params):
+        self.cfg = cfg
+        self.vxm_cfg = VxmConfig(
+            enc=tuple(cfg.enc),
+            dec=tuple(cfg.dec),
+            int_steps=cfg.int_steps,
+            int_res=cfg.int_res,
+            svf_res=cfg.svf_res,
+            compute_dtype=cfg.compute_dtype,
+        )
+        self.model = VxmDense(cfg=self.vxm_cfg)
+        self.params = params
+        self._apply = jax.jit(
+            lambda p, m, f: self.model.apply(p, m, f)
+        )
+
+    def predict(self, mov: np.ndarray, fx: np.ndarray):
+        """Batched predict on (B, X, Y, Z) arrays → (moved, warp_at_int_res)."""
+        mov_j = jnp.asarray(mov, jnp.float32)[..., None]
+        fx_j = jnp.asarray(fx, jnp.float32)[..., None]
+        out = self._apply(self.params, mov_j, fx_j)
+        return np.asarray(out["moved"][..., 0]), np.asarray(out["warp"])
+
+
+@partial(jax.jit, static_argnames=("interp", "rescale", "out_shape"))
+def _apply_warp_jit(v, f, interp, rescale, out_shape):
+    if rescale != 1:
+        f = rescale_field(f, rescale, out_shape=out_shape)
+    return device_warp(v, f, interp=interp)
+
+
+def apply_warp(vol: np.ndarray, field: np.ndarray, interp: str, rescale: int = 1) -> np.ndarray:
+    """``vxm.networks.Transform(rescale=...)`` parity: upsample the field by
+    ``rescale`` (scaling vectors), then warp."""
+    return np.asarray(
+        _apply_warp_jit(
+            jnp.asarray(vol, jnp.float32),
+            jnp.asarray(field, jnp.float32),
+            interp,
+            int(rescale),
+            tuple(vol.shape[:3]),
+        )
+    )
+
+
+def postprocess_and_save(
+    warp_data: np.ndarray,
+    scale: int,
+    fixed_proc: nifti.NiftiImage,
+    fixed_nii: nifti.NiftiImage,
+    moving_nii: nifti.NiftiImage,
+    moved: np.ndarray,
+    paths: dict,
+):
+    """Shared output stage (`bids_registration.py:387-429`)."""
+    # moved on the fixed/processed grid
+    if "moved_proc" in paths:
+        nifti.save(nifti.NiftiImage(moved, fixed_proc.affine), paths["moved_proc"])
+
+    # moved resampled back to the original moving grid
+    moved_orig = affine_resample(
+        moved, fixed_proc.affine, moving_nii.affine, moving_nii.shape[:3], "spline"
+    )
+    if "moved_orig" in paths:
+        nifti.save(nifti.NiftiImage(moved_orig, moving_nii.affine), paths["moved_orig"])
+
+    # upsample the field to full resolution (scaling vectors)
+    if scale != 1:
+        full_shape = tuple(s * scale for s in warp_data.shape[:3])
+        warp_full = np.asarray(
+            rescale_field(jnp.asarray(warp_data, jnp.float32), scale, out_shape=full_shape)
+        )
+    else:
+        warp_full = np.asarray(warp_data, np.float32)
+
+    # RAI permutation / sign flips for sct_apply_transfo (`:401-421`)
+    orientation_conv = "RAI"
+    fx_orient = list(nifti.aff2axcodes(-np.asarray(fixed_nii.affine)))
+    opposite = {"L": "R", "R": "L", "A": "P", "P": "A", "I": "S", "S": "I"}
+    perm, inversion = [0, 1, 2], [1, 1, 1]
+    for i, ch in enumerate(orientation_conv):
+        if ch in fx_orient:
+            perm[i] = fx_orient.index(ch)
+        else:
+            perm[i] = fx_orient.index(opposite[ch])
+            inversion[i] = -1
+
+    warp_exp = warp_full[:, :, :, None, :].copy()  # add time axis
+    src = warp_exp.copy()
+    for i in range(3):
+        warp_exp[..., i] = inversion[i] * src[..., perm[i]]
+
+    warp_img = nifti.NiftiImage(warp_exp, fixed_proc.affine)
+    warp_img.header["intent_code"] = 1007
+    if "warp_proc" in paths:
+        nifti.save(warp_img, paths["warp_proc"])
+
+    if "warp_orig" in paths:
+        warp_orig = np.zeros((*moving_nii.shape[:3], 1, 3))
+        for i in range(3):
+            warp_orig[..., 0, i] = affine_resample(
+                warp_exp[..., 0, i], fixed_proc.affine, moving_nii.affine,
+                moving_nii.shape[:3], "spline",
+            )
+        warp_orig_img = nifti.NiftiImage(warp_orig, moving_nii.affine)
+        warp_orig_img.header["intent_code"] = 1007
+        nifti.save(warp_orig_img, paths["warp_orig"])
+
+    return moved_orig, warp_exp
+
+
+def _infer_fields_single(cfg, registrar, pre):
+    """Run the model; return (moved_proc_or_None, warp_data, scale)."""
+    warp_interp = cfg.warp_interpolation if cfg.warp_interpolation in ("linear", "nearest") else "linear"
+    mov_data = pre.moving.get_fdata()
+    fx_data = pre.fixed.get_fdata()
+
+    if not cfg.use_subvol:
+        moved_b, warp_b = registrar.predict(mov_data[None], fx_data[None])
+        warp_data = warp_b[0]
+        scale = 1 if warp_data.shape[0] == pre.model_in_shape[0] else 2
+        if warp_interp == "linear":
+            moved = moved_b[0]
+        else:
+            moved = apply_warp(mov_data, warp_data, "nearest", rescale=scale)
+        return moved, warp_data, scale
+
+    # subvolume path: batch all tiles in one call
+    fx_tiles = np.stack(pre.subvols_fx)
+    mov_tiles = np.stack(pre.subvols_mov)
+    _, warps = registrar.predict(mov_tiles, fx_tiles)
+
+    model_in_shape = list(pre.model_in_shape)
+    coords = list(pre.subvol_coords)
+    moving_shape = list(mov_data.shape)
+    if warps.shape[1] != pre.model_in_shape[0]:
+        scale = 2
+        model_in_shape = [s // 2 for s in model_in_shape]
+        moving_shape = [s // 2 for s in moving_shape]
+        coords = [tuple(c // 2 for c in co) for co in coords]
+    else:
+        scale = 1
+
+    warp_data = np.asarray(
+        blend_subvol_fields(tuple(model_in_shape), tuple(moving_shape), coords, list(warps))
+    )
+    moved = apply_warp(mov_data, warp_data, warp_interp, rescale=scale)
+    return moved, warp_data, scale
+
+
+def register(
+    cfg: InferenceConfig,
+    registrar: Registrar,
+    fx_im_path: str,
+    mov_im_path: str,
+    fx_contrast: str = "T1w",
+    naming: str = "bids",
+    res_dir: str = "res",
+    out_im_name: str = "warped_im",
+    out_field_name: str = "deform_field",
+):
+    """Register moving → fixed and write the reference's output files.
+
+    ``naming='bids'`` mirrors `bids_registration.py`; ``naming='standalone'``
+    mirrors `3d_reg.py` (moved/warp in original space into ``res_dir``).
+    """
+    fixed_nii = nifti.load(fx_im_path)
+    moving_nii = nifti.load(mov_im_path)
+    fx_stem = fx_im_path.split(".")[0]
+    mov_stem = mov_im_path.split(".")[0]
+
+    pre = preprocess(cfg, fixed_nii, moving_nii)
+    nifti.save(pre.fixed, f"{fx_stem}_proc.nii.gz")
+    nifti.save(pre.moving, f"{mov_stem}_proc.nii.gz")
+
+    moved, warp_data, scale = _infer_fields_single(cfg, registrar, pre)
+
+    if naming == "bids":
+        paths = {
+            "moved_proc": f"{mov_stem}_proc_reg_to_{fx_contrast}.nii.gz",
+            "moved_orig": f"{mov_stem}_reg_original_dim.nii.gz",
+            "warp_proc": f"{mov_stem}_proc_field_to_{fx_contrast}.nii.gz",
+            "warp_orig": f"{mov_stem}_warp_original_dim.nii.gz",
+        }
+    else:
+        os.makedirs(res_dir, exist_ok=True)
+        paths = {
+            "moved_proc": f"{mov_stem}_proc_reg_to_{fx_contrast}.nii.gz",
+            "moved_orig": os.path.join(res_dir, f"{out_im_name}.nii.gz"),
+            "warp_proc": f"{mov_stem}_proc_field_to_{fx_contrast}.nii.gz",
+            "warp_orig": os.path.join(res_dir, f"{out_field_name}.nii.gz"),
+        }
+
+    moved_orig, warp_exp = postprocess_and_save(
+        warp_data, scale, pre.fixed, fixed_nii, moving_nii, moved, paths
+    )
+    return {
+        "moved": moved,
+        "moved_orig": moved_orig,
+        "warp": warp_exp,
+        "paths": paths,
+        "scale": scale,
+    }
+
+
+def load_params_any(path: str, cfg: InferenceConfig):
+    """Load model weights from Keras .h5 / flat .npz / orbax dir."""
+    from multimodal_registration_tpu.models.vxm_dense import params_template
+
+    template = params_template(
+        VxmConfig(
+            enc=tuple(cfg.enc), dec=tuple(cfg.dec), int_steps=cfg.int_steps,
+            int_res=cfg.int_res, svf_res=cfg.svf_res, compute_dtype=cfg.compute_dtype,
+        ),
+        inshape=(16, 16, 16),
+    )
+    if path.endswith((".h5", ".hdf5")):
+        from multimodal_registration_tpu.models.h5_import import import_keras_vxm_h5
+
+        vxm_cfg = VxmConfig(enc=tuple(cfg.enc), dec=tuple(cfg.dec))
+        return import_keras_vxm_h5(path, template, vxm_cfg)
+    if path.endswith(".npz"):
+        from multimodal_registration_tpu.train.trainer import _unflatten_params
+
+        return _unflatten_params(template, dict(np.load(path)))
+    import orbax.checkpoint as ocp
+
+    restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    return restored["params"]

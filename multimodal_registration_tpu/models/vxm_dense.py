@@ -153,5 +153,22 @@ def init_params(cfg: VxmConfig, inshape=(32, 32, 32), seed: int = 0):
     return model.init(key, dummy, dummy)
 
 
+def params_template(cfg: VxmConfig, inshape=(16, 16, 16)):
+    """Zero-filled params pytree with the right structure/shapes, built WITHOUT
+    any device compute (via ``jax.eval_shape``) — cheap on slow-compile
+    backends when the values are about to be overwritten by a checkpoint."""
+    import numpy as np
+
+    model = VxmDense(cfg=cfg)
+    dummy = jax.ShapeDtypeStruct((1, *inshape, 1), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda k, m, f: model.init(k, m, f),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),
+        dummy,
+        dummy,
+    )
+    return jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+
+
 def apply_model(cfg: VxmConfig, params, moving, fixed):
     return VxmDense(cfg=cfg).apply(params, moving, fixed)
