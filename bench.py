@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Headline benchmark: registered 192³ volume-pairs/sec on TPU.
+
+Runs the flagship registration forward (SynthMorph training architecture:
+enc [64]x4 / dec [64]x6, int_steps 5, svf/int res 2, bfloat16 compute) at
+192³ and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` compares against a TF-CPU measurement of the same forward
+computation (the reference is TF on CPU and publishes no numbers — see
+BASELINE.md). The TF number is measured once at 96³, scaled by FLOPs (×8) to
+192³, and cached in ``.bench_baseline.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from multimodal_registration_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_registration_tpu.models.vxm_dense import VxmConfig, VxmDense, init_params
+
+SHAPE = (192, 192, 192)
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
+
+
+def measure_tpu(shape=SHAPE, iters=10, batch=1):
+    cfg = VxmConfig(
+        enc=(64, 64, 64, 64),
+        dec=(64, 64, 64, 64, 64, 64),
+        int_steps=5,
+        int_res=2,
+        svf_res=2,
+        compute_dtype="bfloat16",
+    )
+    model = VxmDense(cfg=cfg)
+    params = init_params(cfg, inshape=(32, 32, 32))
+
+    @jax.jit
+    def fwd(params, mov, fx):
+        out = model.apply(params, mov, fx)
+        return out["moved"], out["warp"]
+
+    mov = jnp.zeros((batch, *shape, 1), jnp.float32)
+    fx = jnp.ones((batch, *shape, 1), jnp.float32)
+    # warmup / compile
+    m, w = fwd(params, mov, fx)
+    jax.block_until_ready((m, w))
+    t0 = time.time()
+    for _ in range(iters):
+        m, w = fwd(params, mov, fx)
+    jax.block_until_ready((m, w))
+    dt = (time.time() - t0) / iters
+    return batch / dt
+
+
+def get_baseline():
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)
+    try:
+        from benchmarks.tf_baseline import measure_tf_cpu
+
+        pps_96 = measure_tf_cpu((96, 96, 96), iters=3)
+        entry = {
+            "tf_cpu_pairs_per_sec_192": pps_96 / 8.0,
+            "method": "measured at 96^3, scaled by 8x FLOPs to 192^3",
+        }
+    except Exception as e:  # pragma: no cover
+        entry = {"tf_cpu_pairs_per_sec_192": None, "method": f"failed: {e}"}
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(entry, f)
+    return entry
+
+
+def main():
+    value = measure_tpu()
+    baseline = get_baseline()
+    base = baseline.get("tf_cpu_pairs_per_sec_192")
+    vs = (value / base) if base else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "registered_192cube_vol_pairs_per_sec",
+                "value": round(value, 4),
+                "unit": "pairs/s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
