@@ -49,20 +49,29 @@ def measure_tpu(shape=SHAPE, iters=10, batch=1):
     model = VxmDense(cfg=cfg)
     params = init_params(cfg, inshape=(32, 32, 32))
 
-    @jax.jit
-    def fwd(params, mov, fx):
+    def one_step(mov, fx):
         out = model.apply(params, mov, fx)
         return out["moved"], out["warp"]
 
+    # All iterations inside ONE jit via lax.scan, chained through the moved
+    # output: a single device dispatch measures true device throughput and
+    # the data dependency prevents the compiler from eliding iterations.
+    # (On the remote-tunnel backend, per-call dispatch costs ~0.5 s and
+    # block_until_ready does not reliably wait — a scalar readback does.)
+    @jax.jit
+    def run_iters(mov, fx):
+        def body(x, _):
+            moved, warp = one_step(x, fx)
+            return moved, jnp.sum(warp)
+
+        x, sums = jax.lax.scan(body, mov, None, length=iters)
+        return jnp.sum(x) + jnp.sum(sums)
+
     mov = jnp.zeros((batch, *shape, 1), jnp.float32)
     fx = jnp.ones((batch, *shape, 1), jnp.float32)
-    # warmup / compile
-    m, w = fwd(params, mov, fx)
-    jax.block_until_ready((m, w))
+    float(run_iters(mov, fx))  # compile + warmup
     t0 = time.time()
-    for _ in range(iters):
-        m, w = fwd(params, mov, fx)
-    jax.block_until_ready((m, w))
+    float(run_iters(mov, fx))
     dt = (time.time() - t0) / iters
     return batch / dt
 

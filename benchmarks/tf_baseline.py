@@ -76,17 +76,21 @@ def build_tf_forward(shape, enc=(64, 64, 64, 64), dec=(64, 64, 64, 64, 64, 64)):
         x = KL.LeakyReLU(0.2)(KL.Conv3D(f, 3, padding="same")(x))
         if i < len(enc) - 1:  # svf at half res
             x = KL.UpSampling3D(2)(x)
-            x = KL.concatenate([x, skips[-(i + 2)]])
+            x = KL.concatenate([x, skips[-(i + 1)]])
     for f in dec[len(enc) :]:
         x = KL.LeakyReLU(0.2)(KL.Conv3D(f, 3, padding="same")(x))
     svf = KL.Conv3D(3, 3, padding="same")(x)
 
-    # scaling and squaring (5 steps) at half res
-    flow = svf / 32.0
-    for _ in range(5):
-        flow = flow + trilinear_warp(flow, flow)
-    full = resize2x(flow)
-    moved = trilinear_warp(mov, full)
+    # Keras 3 functional graphs reject raw tf ops → wrap in Lambda layers
+    def integrate(svf):
+        flow = svf / 32.0
+        for _ in range(5):
+            flow = flow + trilinear_warp(flow, flow)
+        return flow
+
+    flow = KL.Lambda(integrate)(svf)
+    full = KL.Lambda(lambda f: f * 2.0)(KL.UpSampling3D(2)(flow))
+    moved = KL.Lambda(lambda t: trilinear_warp(t[0], t[1]))([mov, full])
     return tf.keras.Model([mov, fx], [moved, flow])
 
 

@@ -1,0 +1,127 @@
+"""Multi-subject batch runner (the ``sct_run_batch`` replacement).
+
+Parity target: ``sct_run_batch -jobs N -path-data … -path-output … -script …``
+(`README.md:128-132`): subject discovery, provisioning of output/QC/log
+directories, per-subject execution with per-subject logs, a wall-clock report
+per subject (`pipeline_bids_register_evaluate.sh:245-253`), and an error log
+for missing outputs.
+
+TPU-native design: the reference forks one shell (and one TF runtime) per
+subject; on the slow-compile TPU tunnel that is catastrophic, so subjects
+stream through a single process and share the compiled model. ``jobs`` is
+retained for host-side work (segmentation / NIfTI IO) via a thread pool while
+device work stays serialized on the chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+from multimodal_registration_tpu.infer.config import InferenceConfig
+from multimodal_registration_tpu.infer.register import Registrar, load_params_any
+from multimodal_registration_tpu.pipeline.bids import discover_subjects
+from multimodal_registration_tpu.pipeline.qc import QCReport
+from multimodal_registration_tpu.pipeline.runner import PipelineConfig, run_subject
+from multimodal_registration_tpu.pipeline.segment import default_segmenter
+
+
+def run_batch(
+    path_data: str,
+    path_output: str,
+    model_path: str,
+    config_path: str | None = None,
+    model2_path: str | None = None,
+    jobs: int = 1,
+    include: list | None = None,
+    segmenter=None,
+    **pipeline_kwargs,
+):
+    cfg = InferenceConfig.from_json(config_path) if config_path else InferenceConfig()
+    pcfg = PipelineConfig(**pipeline_kwargs)
+    pcfg.two_step = model2_path is not None
+
+    os.makedirs(path_output, exist_ok=True)
+    path_processed = os.path.join(path_output, "data_processed")
+    path_qc = os.path.join(path_output, "qc")
+    path_log = os.path.join(path_output, "log")
+    for p in (path_processed, path_qc, path_log):
+        os.makedirs(p, exist_ok=True)
+
+    registrar = Registrar(cfg, load_params_any(model_path, cfg))
+    registrar2 = Registrar(cfg, load_params_any(model2_path, cfg)) if model2_path else None
+    segmenter = segmenter or default_segmenter()
+    qc = QCReport(path_qc)
+
+    subjects = discover_subjects(path_data)
+    if include:
+        subjects = [s for s in subjects if any(i in s for i in include)]
+
+    results = []
+    t_start = time.time()
+
+    def one(subject):
+        res = run_subject(
+            cfg, pcfg, registrar, path_data, path_processed, subject,
+            segmenter=segmenter, qc=qc, registrar2=registrar2,
+        )
+        with open(os.path.join(path_log, f"{subject.replace('/', '_')}.log"), "w") as f:
+            f.write(json.dumps(res.__dict__, default=str, indent=2))
+        print(
+            f"[{subject}] {'OK' if res.ok else 'FAIL'} in {res.seconds:.1f}s "
+            + (f"dice={res.metrics.get('dice_after', float('nan')):.3f}" if res.ok else
+               f"error={str(res.error)[:200]}"),
+            flush=True,
+        )
+        return res
+
+    if jobs > 1:
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            results = list(ex.map(one, subjects))
+    else:
+        results = [one(s) for s in subjects]
+
+    qc.write()
+    summary = {
+        "n_subjects": len(results),
+        "n_ok": sum(r.ok for r in results),
+        "n_affine_fallback": sum(r.used_affine_fallback for r in results),
+        "total_seconds": time.time() - t_start,
+        "per_subject_seconds": {r.subject: r.seconds for r in results},
+    }
+    with open(os.path.join(path_output, "batch_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return results, summary
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="BIDS batch registration+evaluation pipeline (sct_run_batch parity)."
+    )
+    p.add_argument("--path-data", required=True)
+    p.add_argument("--path-output", required=True)
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--model2-path", default=None, help="second model → two-step cascade")
+    p.add_argument("--config-path", default=None)
+    p.add_argument("--jobs", type=int, default=1)
+    p.add_argument("--fx-contrast", default="T2w")
+    p.add_argument("--mov-contrast", default="T1w")
+    p.add_argument("--opt-affine", action="store_true",
+                   help="enable the SC-Dice-gated centermass affine fallback")
+    p.add_argument("--min-sc-dice", type=int, default=80)
+    p.add_argument("--include", nargs="*", default=None)
+    a = p.parse_args(argv)
+    _, summary = run_batch(
+        a.path_data, a.path_output, a.model_path,
+        config_path=a.config_path, model2_path=a.model2_path, jobs=a.jobs,
+        include=a.include, fx_contrast=a.fx_contrast, mov_contrast=a.mov_contrast,
+        opt_affine=a.opt_affine, min_sc_dice=a.min_sc_dice,
+    )
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

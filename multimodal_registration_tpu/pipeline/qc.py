@@ -1,0 +1,99 @@
+"""Lightweight QC report generator (HTML + PNG mosaics).
+
+Parity target: SCT ``sct_qc`` HTML reports invoked per subject
+(`pipeline_bids_register_evaluate.sh:159-164`, `README.md:114`): a browsable
+page showing, per subject, the fixed volume with the moving/moved volumes and
+segmentation overlays for visual registration QC.
+"""
+
+from __future__ import annotations
+
+import base64
+import html
+import io
+import os
+
+import numpy as np
+
+from multimodal_registration_tpu.utils import nifti
+
+
+def _mosaic(vol: np.ndarray, n_slices: int = 6, axis: int = 2) -> np.ndarray:
+    idx = np.linspace(0, vol.shape[axis] - 1, n_slices + 2, dtype=int)[1:-1]
+    slices = [np.take(vol, i, axis=axis).T[::-1] for i in idx]
+    return np.concatenate(slices, axis=1)
+
+
+def _png_b64(img: np.ndarray, overlay: np.ndarray | None = None) -> str:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(img.shape[1] / 50, img.shape[0] / 50), dpi=100)
+    ax.imshow(img, cmap="gray", interpolation="nearest")
+    if overlay is not None:
+        masked = np.ma.masked_where(overlay == 0, overlay)
+        ax.imshow(masked, cmap="autumn", alpha=0.5, interpolation="nearest")
+    ax.axis("off")
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png", bbox_inches="tight", pad_inches=0)
+    plt.close(fig)
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+class QCReport:
+    def __init__(self, qc_dir: str, title: str = "Registration QC"):
+        self.qc_dir = qc_dir
+        self.title = title
+        self.entries = []
+        os.makedirs(qc_dir, exist_ok=True)
+
+    def add_subject(
+        self,
+        subject: str,
+        fixed_path: str,
+        moving_path: str,
+        moved_path: str,
+        seg_paths: dict | None = None,
+        metrics: dict | None = None,
+    ):
+        panels = []
+        segs = seg_paths or {}
+        for name, path in [("fixed", fixed_path), ("moving", moving_path), ("moved", moved_path)]:
+            vol = nifti.load(path).get_fdata()
+            lo, hi = np.percentile(vol, [1, 99])
+            vol = np.clip((vol - lo) / max(hi - lo, 1e-9), 0, 1)
+            overlay = None
+            if name in segs and os.path.exists(segs[name]):
+                overlay = _mosaic(nifti.load(segs[name]).get_fdata())
+            panels.append((name, _png_b64(_mosaic(vol), overlay)))
+        self.entries.append({"subject": subject, "panels": panels, "metrics": metrics or {}})
+
+    def write(self) -> str:
+        rows = []
+        for e in self.entries:
+            imgs = "".join(
+                f"<figure><figcaption>{html.escape(n)}</figcaption>"
+                f'<img src="data:image/png;base64,{b}"/></figure>'
+                for n, b in e["panels"]
+            )
+            mets = "".join(
+                f"<li>{html.escape(str(k))}: {html.escape(f'{v:.4f}' if isinstance(v, float) else str(v))}</li>"
+                for k, v in e["metrics"].items()
+            )
+            rows.append(
+                f"<section><h2>{html.escape(e['subject'])}</h2>{imgs}<ul>{mets}</ul></section>"
+            )
+        doc = (
+            "<!doctype html><html><head><meta charset='utf-8'>"
+            f"<title>{html.escape(self.title)}</title>"
+            "<style>body{font-family:sans-serif;background:#111;color:#eee}"
+            "img{max-width:100%;display:block}figure{margin:4px 0}"
+            "section{border-bottom:1px solid #444;padding:8px 0}</style>"
+            f"</head><body><h1>{html.escape(self.title)}</h1>{''.join(rows)}</body></html>"
+        )
+        out = os.path.join(self.qc_dir, "index.html")
+        with open(out, "w") as f:
+            f.write(doc)
+        return out

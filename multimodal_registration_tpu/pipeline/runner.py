@@ -1,0 +1,213 @@
+"""Per-subject pipeline: register → segment → evaluate → QC, with the
+optional center-of-mass-affine fallback gate.
+
+Parity target: the three bash pipelines driven by ``sct_run_batch``:
+  * basic: `pipeline_bids_register_evaluate.sh` — copy data, register,
+    segment fx/mov/moved, run the three evaluators, QC, output checks,
+  * opt-affine: `pipeline_bids_register_evaluate_opt_affine.sh` — if SC Dice
+    after deformable registration is below ``min_sc_dice`` (default 80%,
+    `:71`), segment the originals, slice-wise center-of-mass affine
+    (`:156-174`), re-register on the affine-aligned volume and re-evaluate,
+  * two-step: `pipeline_bids_register_evaluate_two_steps.sh` — the cascade
+    CLI with two models.
+
+TPU-native design difference: the reference forks one shell per subject and
+rebuilds the TF graph each time; here subjects stream through ONE process so
+the jitted model (per volume-shape bucket) is compiled once.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from multimodal_registration_tpu.evalx.jacobian import folding_summary
+from multimodal_registration_tpu.evalx.nmi import detect_zero_padding, normalized_mutual_information
+from multimodal_registration_tpu.evalx.overlap import overlap_metrics
+from multimodal_registration_tpu.infer.cascade import register_two_steps
+from multimodal_registration_tpu.infer.config import InferenceConfig
+from multimodal_registration_tpu.infer.register import Registrar, register
+from multimodal_registration_tpu.pipeline.bids import subject_images
+from multimodal_registration_tpu.pipeline.qc import QCReport
+from multimodal_registration_tpu.pipeline.segment import (
+    Segmenter,
+    apply_affine_field,
+    centermass_affine_field,
+    default_segmenter,
+)
+from multimodal_registration_tpu.utils import nifti
+
+
+@dataclass
+class PipelineConfig:
+    fx_contrast: str = "T2w"
+    mov_contrast: str = "T1w"
+    opt_affine: bool = False
+    min_sc_dice: int = 80  # percent (opt_affine gate, opt_affine.sh:71)
+    two_step: bool = False
+    csv_dir: str = "."
+    debugging: bool = True  # keep intermediate files (sh DEBUGGING flag)
+
+
+@dataclass
+class SubjectResult:
+    subject: str
+    ok: bool
+    seconds: float
+    metrics: dict = field(default_factory=dict)
+    missing_files: list = field(default_factory=list)
+    error: Optional[str] = None
+    used_affine_fallback: bool = False
+
+
+def _evaluate(sub_id, fx_seg_p, mov_seg_p, moved_seg_p, fx_p, mov_p, moved_p, warp_p, csv_dir):
+    """Run the three evaluators via the library API, appending the same CSVs
+    the reference writes (`pipeline_bids_register_evaluate.sh:142-156`)."""
+    from multimodal_registration_tpu.evalx.cli import (
+        eval_on_sc_seg,
+        eval_with_jacobian,
+        eval_with_mi,
+    )
+
+    eval_on_sc_seg([
+        "--fx-seg-path", fx_seg_p, "--moving-seg-path", mov_seg_p,
+        "--warped-seg-path", moved_seg_p, "--sub-id", sub_id,
+        "--out-file", os.path.join(csv_dir, "metrics_on_sc_seg.csv"),
+    ])
+    eval_with_mi([
+        "--fx-im-path", fx_p, "--moving-im-path", mov_p, "--warped-im-path", moved_p,
+        "--sub-id", sub_id, "--out-file", os.path.join(csv_dir, "nmi.csv"),
+    ])
+    eval_with_jacobian([
+        "--def-field-path", warp_p, "--sub-id", sub_id,
+        "--out-file", os.path.join(csv_dir, "jacobian_det.csv"),
+        "--out-im-path", os.path.join(os.path.dirname(moved_p), "detJa.nii.gz"),
+    ])
+
+
+def run_subject(
+    cfg: InferenceConfig,
+    pcfg: PipelineConfig,
+    registrar: Registrar,
+    path_data: str,
+    path_out: str,
+    subject: str,
+    segmenter: Segmenter | None = None,
+    qc: QCReport | None = None,
+    registrar2: Registrar | None = None,
+) -> SubjectResult:
+    t0 = time.time()
+    segmenter = segmenter or default_segmenter()
+    try:
+        # ---- copy subject data (rsync parity, sh:83-89) ----
+        imgs = subject_images(path_data, subject)
+        if pcfg.fx_contrast not in imgs.files or pcfg.mov_contrast not in imgs.files:
+            return SubjectResult(
+                subject, False, time.time() - t0,
+                error=f"missing contrasts {pcfg.fx_contrast}/{pcfg.mov_contrast} "
+                      f"in {sorted(imgs.files)}",
+            )
+        work = os.path.join(path_out, subject.replace("/", "_"))
+        os.makedirs(work, exist_ok=True)
+        prefix = subject.replace("/", "_")
+        fx_p = os.path.join(work, f"{prefix}_{pcfg.fx_contrast}.nii.gz")
+        mov_p = os.path.join(work, f"{prefix}_{pcfg.mov_contrast}.nii.gz")
+        shutil.copy(imgs.files[pcfg.fx_contrast], fx_p)
+        shutil.copy(imgs.files[pcfg.mov_contrast], mov_p)
+
+        def do_register(mov_path):
+            if pcfg.two_step and registrar2 is not None:
+                return register_two_steps(
+                    cfg, registrar, registrar2, fx_p, mov_path, fx_contrast=pcfg.fx_contrast
+                )
+            return register(cfg, registrar, fx_p, mov_path, fx_contrast=pcfg.fx_contrast)
+
+        out = do_register(mov_p)
+        mov_stem = mov_p.split(".")[0]
+        fx_stem = fx_p.split(".")[0]
+        moved_p = f"{mov_stem}_proc_reg_to_{pcfg.fx_contrast}.nii.gz"
+        warp_p = f"{mov_stem}_proc_field_to_{pcfg.fx_contrast}.nii.gz"
+        fx_proc_p = f"{fx_stem}_proc.nii.gz"
+        mov_proc_p = f"{mov_stem}_proc.nii.gz"
+
+        # ---- segment fx / mov / moved (sh:122-138) ----
+        fx_seg_p = f"{fx_stem}_proc_seg.nii.gz"
+        mov_seg_p = f"{mov_stem}_proc_seg.nii.gz"
+        moved_seg_p = moved_p.replace(".nii.gz", "_seg.nii.gz")
+        segmenter(fx_proc_p, pcfg.fx_contrast, fx_seg_p)
+        segmenter(mov_proc_p, pcfg.mov_contrast, mov_seg_p)
+        segmenter(moved_p, pcfg.mov_contrast, moved_seg_p)
+
+        used_fallback = False
+        if pcfg.opt_affine:
+            m = overlap_metrics(
+                nifti.load(fx_seg_p).get_fdata(), nifti.load(moved_seg_p).get_fdata()
+            )
+            if 100 * m["dice"] < pcfg.min_sc_dice:
+                # ---- affine fallback (opt_affine.sh:156-182) ----
+                used_fallback = True
+                field = centermass_affine_field(
+                    nifti.load(fx_seg_p).get_fdata(),
+                    nifti.load(mov_seg_p).get_fdata(),
+                )
+                mov_affine_p = f"{mov_stem}_affine.nii.gz"
+                # the centermass field lives on the *processed* grid; align the
+                # processed moving volume, then re-register from it
+                apply_affine_field(mov_proc_p, field, mov_affine_p)
+                out = do_register(mov_affine_p)
+                aff_stem = mov_affine_p.split(".")[0]
+                moved_p = f"{aff_stem}_proc_reg_to_{pcfg.fx_contrast}.nii.gz"
+                warp_p = f"{aff_stem}_proc_field_to_{pcfg.fx_contrast}.nii.gz"
+                segmenter(moved_p, pcfg.mov_contrast, moved_seg_p)
+
+        # ---- evaluators → CSVs (sh:142-156) ----
+        sub_id = subject
+        csv_dir = pcfg.csv_dir if os.path.isabs(pcfg.csv_dir) else os.path.join(path_out, pcfg.csv_dir)
+        os.makedirs(csv_dir, exist_ok=True)
+        _evaluate(sub_id, fx_seg_p, mov_seg_p, moved_seg_p,
+                  fx_proc_p, mov_proc_p, moved_p, warp_p, csv_dir)
+
+        metrics = overlap_metrics(
+            nifti.load(fx_seg_p).get_fdata(), nifti.load(moved_seg_p).get_fdata()
+        )
+        jac = folding_summary(nifti.load(warp_p).get_fdata())
+
+        # ---- QC (sh:159-164) ----
+        if qc is not None:
+            qc.add_subject(
+                subject, fx_proc_p, mov_proc_p, moved_p,
+                seg_paths={"fixed": fx_seg_p, "moved": moved_seg_p},
+                metrics={
+                    "dice_after": metrics["dice"],
+                    "pct_negative_detJ": jac["percentage_negative_detJa"],
+                    "affine_fallback": used_fallback,
+                },
+            )
+
+        # ---- output existence check (sh:223-243) ----
+        missing = [p for p in (moved_p, warp_p, fx_seg_p, moved_seg_p) if not os.path.exists(p)]
+        if missing:
+            with open(os.path.join(path_out, "_error_check_output_files.log"), "a") as f:
+                for p in missing:
+                    f.write(f"{subject}: missing {p}\n")
+
+        if not pcfg.debugging:
+            for p in (fx_proc_p, mov_proc_p):
+                if os.path.exists(p):
+                    os.remove(p)
+
+        return SubjectResult(
+            subject, not missing, time.time() - t0,
+            metrics={"dice_after": metrics["dice"],
+                     "pct_neg_detJ": jac["percentage_negative_detJa"]},
+            missing_files=missing, used_affine_fallback=used_fallback,
+        )
+    except Exception as e:  # noqa: BLE001 — per-subject isolation, like set -e per forked shell
+        import traceback
+
+        return SubjectResult(subject, False, time.time() - t0, error=traceback.format_exc(limit=5))

@@ -1,0 +1,115 @@
+"""Batch-pipeline tests on a synthetic BIDS dataset (CPU, threshold segmenter)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_registration_tpu.infer.config import InferenceConfig
+from multimodal_registration_tpu.models.vxm_dense import VxmConfig, params_template
+from multimodal_registration_tpu.pipeline import (
+    ThresholdSegmenter,
+    centermass_affine_field,
+    discover_subjects,
+    run_batch,
+    subject_images,
+)
+from multimodal_registration_tpu.train.trainer import _flatten_params
+from multimodal_registration_tpu.utils import nifti
+
+
+def _cord_vol(shape=(40, 40, 32), shift=(0, 0), seed=0, bright=3.0):
+    rng = np.random.default_rng(seed)
+    g = np.stack(np.meshgrid(*[np.linspace(-1, 1, s) for s in shape[:2]], indexing="ij"), 0)
+    cx, cy = shift
+    tube = np.exp(-(((g[0] - cx) ** 2 + (g[1] - cy) ** 2)) * 30) * bright
+    vol = tube[..., None] * np.ones(shape[2]) + 0.1 * rng.random(shape)
+    return vol.astype(np.float32)
+
+
+def _make_bids(tmp_path, subjects=("sub-01", "sub-02")):
+    data = tmp_path / "data"
+    for i, sub in enumerate(subjects):
+        anat = data / sub / "anat"
+        os.makedirs(anat)
+        aff = np.eye(4)
+        nifti.save(nifti.NiftiImage(_cord_vol(seed=i), aff), str(anat / f"{sub}_T2w.nii.gz"))
+        nifti.save(
+            nifti.NiftiImage(_cord_vol(shift=(0.15, 0.0), seed=i + 10), aff),
+            str(anat / f"{sub}_T1w.nii.gz"),
+        )
+    return str(data)
+
+
+def _weights(tmp_path):
+    p = params_template(VxmConfig(enc=(4,) * 4, dec=(4,) * 6, compute_dtype="float32"))
+    path = str(tmp_path / "w.npz")
+    np.savez(path, **_flatten_params(p))
+    return path
+
+
+def test_discover_and_files(tmp_path):
+    data = _make_bids(tmp_path)
+    subs = discover_subjects(data)
+    assert subs == ["sub-01", "sub-02"]
+    imgs = subject_images(data, "sub-01")
+    assert set(imgs.files) == {"T1w", "T2w"}
+
+
+def test_discover_sessions(tmp_path):
+    anat = tmp_path / "data" / "sub-03" / "ses-01" / "anat"
+    os.makedirs(anat)
+    nifti.save(nifti.NiftiImage(np.zeros((8, 8, 8), np.float32), np.eye(4)),
+               str(anat / "sub-03_ses-01_T1w.nii.gz"))
+    subs = discover_subjects(str(tmp_path / "data"))
+    assert subs == ["sub-03/ses-01"]
+    imgs = subject_images(str(tmp_path / "data"), "sub-03/ses-01")
+    assert "T1w" in imgs.files
+
+
+def test_centermass_affine_field():
+    fx = np.zeros((20, 20, 8))
+    mv = np.zeros((20, 20, 8))
+    fx[8:12, 8:12, :] = 1
+    mv[12:16, 10:14, :] = 1  # shifted +4 in x, +2 in y
+    field = centermass_affine_field(fx, mv)
+    # phi = com_mov - com_fx = (+4, +2): sampling mov at x+4 re-centers it
+    np.testing.assert_allclose(field[..., 0], 4.0, atol=1e-6)
+    np.testing.assert_allclose(field[..., 1], 2.0, atol=1e-6)
+    np.testing.assert_allclose(field[..., 2], 0.0)
+
+
+def test_threshold_segmenter(tmp_path):
+    vol = _cord_vol()
+    p = str(tmp_path / "v.nii.gz")
+    nifti.save(nifti.NiftiImage(vol, np.eye(4)), p)
+    seg_p = ThresholdSegmenter()(p, "T2w", str(tmp_path / "seg.nii.gz"))
+    seg = nifti.load(seg_p).get_fdata()
+    assert seg.sum() > 0
+    assert set(np.unique(seg)) <= {0.0, 1.0}
+
+
+def test_run_batch_with_config_and_opt_affine(tmp_path):
+    data = _make_bids(tmp_path)
+    cfgp = str(tmp_path / "cfg.json")
+    with open(cfgp, "w") as f:
+        json.dump(dict(enc=[4] * 4, dec=[4] * 6, compute_dtype="float32"), f)
+    out = str(tmp_path / "out2")
+    results, summary = run_batch(
+        data, out, _weights(tmp_path),
+        config_path=cfgp, jobs=1,
+        fx_contrast="T2w", mov_contrast="T1w",
+        opt_affine=True, min_sc_dice=80,
+    )
+    assert summary["n_subjects"] == 2
+    assert summary["n_ok"] == 2, [r.error for r in results]
+    # CSVs written
+    csv_dir = os.path.join(out, "data_processed")
+    for f in ("metrics_on_sc_seg.csv", "nmi.csv", "jacobian_det.csv"):
+        assert os.path.exists(os.path.join(csv_dir, f)), f
+    # QC report
+    assert os.path.exists(os.path.join(out, "qc", "index.html"))
+    # per-subject logs + summary
+    assert os.path.exists(os.path.join(out, "log", "sub-01.log"))
+    assert os.path.exists(os.path.join(out, "batch_summary.json"))
