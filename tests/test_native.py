@@ -1,0 +1,68 @@
+"""Native C++ runtime tests (NIfTI decode + prefetch pool) vs the Python reader."""
+
+import numpy as np
+import pytest
+
+from multimodal_registration_tpu.utils import nifti
+from multimodal_registration_tpu.utils.native import PrefetchPool, get_lib, load_nifti_native
+
+pytestmark = pytest.mark.skipif(get_lib() is None, reason="native runtime unavailable")
+
+
+def _save(path, data, affine=None, slope=None, inter=None):
+    img = nifti.NiftiImage(data, np.eye(4) if affine is None else affine)
+    if slope is not None:
+        img.header.scl_slope = slope
+    if inter is not None:
+        img.header.scl_inter = inter
+    nifti.save(img, str(path))
+
+
+def test_native_matches_python_float32(tmp_path):
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(9, 7, 5)).astype(np.float32)
+    aff = np.array([[0, 0, 2.0, -5], [1.5, 0, 0, 3], [0, -1, 0, 7], [0, 0, 0, 1.0]])
+    p = tmp_path / "x.nii.gz"
+    _save(p, data, aff)
+    d, a = load_nifti_native(str(p))
+    np.testing.assert_allclose(d, data, atol=1e-6)
+    np.testing.assert_allclose(a, aff, atol=1e-5)
+
+
+def test_native_uint8_and_scaling(tmp_path):
+    data = np.arange(24, dtype=np.uint8).reshape(2, 3, 4)
+    p = tmp_path / "u8.nii.gz"
+    _save(p, data, slope=2.0, inter=-1.0)
+    d, _ = load_nifti_native(str(p))
+    np.testing.assert_allclose(d, data.astype(np.float32) * 2.0 - 1.0)
+
+
+def test_native_plain_nii(tmp_path):
+    data = np.random.default_rng(1).normal(size=(6, 6, 6)).astype(np.float32)
+    p = tmp_path / "raw.nii"
+    _save(p, data)
+    d, _ = load_nifti_native(str(p))
+    np.testing.assert_allclose(d, data, atol=1e-6)
+
+
+def test_prefetch_pool(tmp_path):
+    rng = np.random.default_rng(2)
+    vols = []
+    paths = []
+    for i in range(6):
+        v = rng.normal(size=(8, 8, 8)).astype(np.float32)
+        p = tmp_path / f"v{i}.nii.gz"
+        _save(p, v)
+        vols.append(v)
+        paths.append(str(p))
+    pool = PrefetchPool(n_threads=3)
+    tickets = [pool.submit(p) for p in paths]
+    for t, v in zip(tickets, vols):
+        d, _ = pool.wait(t)
+        np.testing.assert_allclose(d, v, atol=1e-6)
+    pool.close()
+
+
+def test_native_missing_file_errors(tmp_path):
+    with pytest.raises(IOError):
+        load_nifti_native(str(tmp_path / "nope.nii.gz"))
