@@ -36,9 +36,14 @@ from multimodal_registration_tpu.utils import nifti
 
 
 class Registrar:
-    """Holds params + per-shape jitted apply functions."""
+    """Holds params + per-shape jitted apply functions.
 
-    def __init__(self, cfg: InferenceConfig, params):
+    Batches larger than ``max_batch`` (e.g. all subvolume tiles of a subject,
+    `bids_registration.py:344-348`) are processed in fixed-size chunks: one
+    compiled executable regardless of tile count, bounded activation memory.
+    """
+
+    def __init__(self, cfg: InferenceConfig, params, max_batch: int = 4):
         self.cfg = cfg
         self.vxm_cfg = VxmConfig(
             enc=tuple(cfg.enc),
@@ -50,16 +55,28 @@ class Registrar:
         )
         self.model = VxmDense(cfg=self.vxm_cfg)
         self.params = params
+        self.max_batch = max_batch
         self._apply = jax.jit(
             lambda p, m, f: self.model.apply(p, m, f)
         )
 
     def predict(self, mov: np.ndarray, fx: np.ndarray):
         """Batched predict on (B, X, Y, Z) arrays → (moved, warp_at_int_res)."""
-        mov_j = jnp.asarray(mov, jnp.float32)[..., None]
-        fx_j = jnp.asarray(fx, jnp.float32)[..., None]
-        out = self._apply(self.params, mov_j, fx_j)
-        return np.asarray(out["moved"][..., 0]), np.asarray(out["warp"])
+        B = mov.shape[0]
+        chunk = min(self.max_batch, B)
+        moved_parts, warp_parts = [], []
+        for s in range(0, B, chunk):
+            m = np.asarray(mov[s : s + chunk], np.float32)
+            f = np.asarray(fx[s : s + chunk], np.float32)
+            n = m.shape[0]
+            if n < chunk:  # pad so every chunk hits the same executable
+                pad = chunk - n
+                m = np.concatenate([m, np.zeros((pad, *m.shape[1:]), np.float32)])
+                f = np.concatenate([f, np.zeros((pad, *f.shape[1:]), np.float32)])
+            out = self._apply(self.params, jnp.asarray(m)[..., None], jnp.asarray(f)[..., None])
+            moved_parts.append(np.asarray(out["moved"][..., 0])[:n])
+            warp_parts.append(np.asarray(out["warp"])[:n])
+        return np.concatenate(moved_parts), np.concatenate(warp_parts)
 
 
 @partial(jax.jit, static_argnames=("interp", "rescale", "out_shape"))
