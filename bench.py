@@ -49,29 +49,26 @@ def measure_tpu(shape=SHAPE, iters=10, batch=1):
     model = VxmDense(cfg=cfg)
     params = init_params(cfg, inshape=(32, 32, 32))
 
-    def one_step(mov, fx):
+    @jax.jit
+    def fwd(mov, fx):
         out = model.apply(params, mov, fx)
         return out["moved"], out["warp"]
 
-    # All iterations inside ONE jit via lax.scan, chained through the moved
-    # output: a single device dispatch measures true device throughput and
-    # the data dependency prevents the compiler from eliding iterations.
-    # (On the remote-tunnel backend, per-call dispatch costs ~0.5 s and
-    # block_until_ready does not reliably wait — a scalar readback does.)
-    @jax.jit
-    def run_iters(mov, fx):
-        def body(x, _):
-            moved, warp = one_step(x, fx)
-            return moved, jnp.sum(warp)
-
-        x, sums = jax.lax.scan(body, mov, None, length=iters)
-        return jnp.sum(x) + jnp.sum(sums)
-
+    # Iterations are chained (output feeds the next input) so they cannot be
+    # elided or overlapped; dispatches are async and queue on the device, and
+    # ONE scalar readback at the end drains the whole chain. This amortizes
+    # the remote-tunnel dispatch latency while measuring real device time.
+    # (block_until_ready does not reliably wait on this backend — a host
+    # transfer does.)
     mov = jnp.zeros((batch, *shape, 1), jnp.float32)
     fx = jnp.ones((batch, *shape, 1), jnp.float32)
-    float(run_iters(mov, fx))  # compile + warmup
+    x, w = fwd(mov, fx)  # compile + warmup
+    float(jnp.sum(w))
     t0 = time.time()
-    float(run_iters(mov, fx))
+    x = mov
+    for _ in range(iters):
+        x, w = fwd(x, fx)
+    float(jnp.sum(x) + jnp.sum(w))
     dt = (time.time() - t0) / iters
     return batch / dt
 

@@ -65,9 +65,9 @@ def _device_affine_resample_jit(volj, Mj, out_shape, order, mode, cval):
     out = device_sample(volj, coords, interp="nearest" if order == 0 else "linear")
     if mode == "constant":
         in_dims = jnp.asarray(volj.shape[:3], jnp.float32) - 1.0
-        # half-voxel tolerance matches scipy's 'constant' boundary for
-        # order<=1 (outside = cval once the sample point leaves the grid)
-        inside = jnp.all((coords >= -0.5) & (coords <= in_dims + 0.5), axis=-1)
+        # scipy's 'constant' boundary for order<=1: any coordinate strictly
+        # outside [0, n-1] yields cval (verified against map_coordinates)
+        inside = jnp.all((coords >= 0.0) & (coords <= in_dims), axis=-1)
         out = jnp.where(inside, out, cval)
     return out
 
