@@ -128,8 +128,11 @@ def gen_apply_def_field(argv=None):
     p.add_argument("--def-scales", type=int, nargs="+", default=[16, 32, 64])
     p.add_argument("--def-max-std", type=float, default=3)
     p.add_argument("--interp", default="linear")
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seed", type=int, default=None,
+                   help="PRNG seed; default random per invocation (reference parity)")
     args = p.parse_args(argv)
+    if args.seed is None:
+        args.seed = int.from_bytes(os.urandom(4), "little")
 
     img = nifti.load(args.im_path)
     os.makedirs(args.res_dir, exist_ok=True)

@@ -22,11 +22,21 @@ def load_volfile(
     add_feat_axis: bool = False,
     ret_affine: bool = False,
     np_var: str = "vol",
+    use_native: bool = True,
 ):
     if path.endswith((".nii", ".nii.gz")):
-        img = nifti.load(path)
-        vol = img.get_fdata(dtype=np.float32)
-        affine = img.affine
+        vol = affine = None
+        if use_native:
+            try:  # fast C++ decode path; falls back on any failure
+                from multimodal_registration_tpu.utils.native import load_nifti_native
+
+                vol, affine = load_nifti_native(path)
+            except Exception:
+                vol = None
+        if vol is None:
+            img = nifti.load(path)
+            vol = img.get_fdata(dtype=np.float32)
+            affine = img.affine
     elif path.endswith(".npy"):
         vol = np.load(path)
         affine = np.eye(4)
