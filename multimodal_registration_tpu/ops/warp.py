@@ -26,6 +26,41 @@ def _gather_volume(vol_flat, ix, iy, iz, Y, Z):
     return jnp.take(vol_flat, lin.reshape(-1), axis=0).reshape(*lin.shape, vol_flat.shape[-1])
 
 
+def _sample_linear_blockgather(vol, c):
+    """Trilinear sampling with ONE ``lax.gather`` of 2×2×2×C corner blocks.
+
+    Equivalent to the 8-corner formulation (clamped coordinates make the
+    floor/ceil weights coincide at the edges) but issues a single gather —
+    on TPU this is ~8× less gather work, the dominant cost of the op.
+    Requires every spatial dim >= 2.
+    """
+    X, Y, Z, C = vol.shape
+    batch_shape = c.shape[:-1]
+    hi = jnp.array([X - 2, Y - 2, Z - 2], jnp.int32)
+    i0 = jnp.minimum(jnp.floor(c).astype(jnp.int32), hi)
+    w = (c - i0.astype(c.dtype)).astype(jnp.float32)  # in [0, 1]
+    starts = i0.reshape(-1, 3)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3, 4), collapsed_slice_dims=(), start_index_map=(0, 1, 2)
+    )
+    blocks = jax.lax.gather(
+        vol,
+        starts,
+        dn,
+        slice_sizes=(2, 2, 2, C),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,  # i0 clamped above
+    ).reshape(*batch_shape, 2, 2, 2, C)
+    wx = jnp.stack([1.0 - w[..., 0], w[..., 0]], -1)
+    wy = jnp.stack([1.0 - w[..., 1], w[..., 1]], -1)
+    wz = jnp.stack([1.0 - w[..., 2], w[..., 2]], -1)
+    hi_p = jax.lax.Precision.HIGHEST
+    return jnp.einsum(
+        "...abcd,...a,...b,...c->...d",
+        blocks.astype(jnp.float32), wx, wy, wz,
+        precision=hi_p,
+    ).astype(vol.dtype)
+
+
 def sample(vol: jnp.ndarray, coords: jnp.ndarray, interp: str = "linear") -> jnp.ndarray:
     """Sample ``vol`` at float voxel ``coords``.
 
@@ -41,7 +76,6 @@ def sample(vol: jnp.ndarray, coords: jnp.ndarray, interp: str = "linear") -> jnp
     if squeeze:
         vol = vol[..., None]
     X, Y, Z, C = vol.shape
-    vol_flat = vol.reshape(-1, C)
 
     cdtype = coords.dtype if jnp.issubdtype(coords.dtype, jnp.floating) else jnp.float32
     dims = jnp.array([X - 1, Y - 1, Z - 1], dtype=cdtype)
@@ -49,10 +83,13 @@ def sample(vol: jnp.ndarray, coords: jnp.ndarray, interp: str = "linear") -> jnp
 
     if interp == "nearest":
         idx = jnp.round(c).astype(jnp.int32)
-        out = _gather_volume(vol_flat, idx[..., 0], idx[..., 1], idx[..., 2], Y, Z)
-    else:
+        out = _gather_volume(vol.reshape(-1, C), idx[..., 0], idx[..., 1], idx[..., 2], Y, Z)
+    elif min(X, Y, Z) >= 2:
+        out = _sample_linear_blockgather(vol, c)
+    else:  # degenerate tiny volumes: 8-corner fallback
+        vol_flat = vol.reshape(-1, C)
         c0 = jnp.floor(c)
-        w1 = c - c0  # weight of the +1 corner
+        w1 = c - c0
         i0 = c0.astype(jnp.int32)
         i1 = jnp.minimum(i0 + 1, jnp.array([X - 1, Y - 1, Z - 1], jnp.int32))
         out = None

@@ -110,6 +110,17 @@ def run_training(cfg: TrainConfig, max_steps: int | None = None) -> dict:
     if new_file:
         writer.writerow(["epoch", "loss", "dice_loss", "grad_loss", "val_loss", "sec_per_step"])
 
+    # optional TensorBoard scalars (reference parity: train_synthmorph.py:320-325);
+    # opt-in via MMREG_TENSORBOARD=1 because importing TF is slow
+    tb_writer = None
+    if log_dir and os.environ.get("MMREG_TENSORBOARD") == "1":
+        try:
+            import tensorflow as tf  # present in some environments; optional
+
+            tb_writer = tf.summary.create_file_writer(log_dir)
+        except Exception:
+            tb_writer = None
+
     history = []
     total_steps = 0
     for epoch in range(init_epoch, cfg.epochs):
@@ -155,6 +166,12 @@ def run_training(cfg: TrainConfig, max_steps: int | None = None) -> dict:
         history.append(row)
         writer.writerow(list(row.values()))
         metrics_f.flush()
+        if tb_writer is not None:
+            import tensorflow as tf
+
+            with tb_writer.as_default():
+                for k in ("loss", "dice_loss", "grad_loss", "val_loss"):
+                    tf.summary.scalar(k, row[k], step=epoch + 1)
         if cfg.verbose:
             print(
                 f"epoch {epoch + 1}/{cfg.epochs} loss={row['loss']:.4f} "
