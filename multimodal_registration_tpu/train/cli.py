@@ -93,10 +93,8 @@ def run_training(cfg: TrainConfig, max_steps: int | None = None) -> dict:
         os.path.join(model_dir, f"{init_epoch:04d}"), params, opt_state, init_epoch
     )
 
-    maps_tr_dev = jax.device_put(np.stack(maps_tr).astype(np.uint8))
-    maps_val_dev = (
-        jax.device_put(np.stack(maps_val).astype(np.uint8)) if maps_val else None
-    )
+    bank_tr = trainer.put_bank(np.stack(maps_tr).astype(np.uint8))
+    bank_val = trainer.put_bank(np.stack(maps_val).astype(np.uint8)) if maps_val else None
 
     steps_per_epoch = max(len(maps_tr) // cfg.batch_size, 1)
     val_steps = (len(maps_val) // cfg.batch_size_val) if maps_val else 0
@@ -131,11 +129,10 @@ def run_training(cfg: TrainConfig, max_steps: int | None = None) -> dict:
             src_idx = idx[: cfg.batch_size]
             trg_idx = src_idx if cfg.same_subj else idx[cfg.batch_size :]
             key, sub = jax.random.split(key)
-            src_b, trg_b = trainer.put_batch(
-                np.stack([maps_tr[i] for i in src_idx]).astype(np.uint8),
-                np.stack([maps_tr[i] for i in trg_idx]).astype(np.uint8),
+            si, ti = trainer.put_indices(src_idx, trg_idx)
+            params, opt_state, aux = trainer.train_step_banked(
+                params, opt_state, sub, bank_tr, si, ti
             )
-            params, opt_state, aux = trainer.train_step(params, opt_state, sub, src_b, trg_b)
             ep_losses.append(float(aux["loss"]))
             total_steps += 1
             if max_steps is not None and total_steps >= max_steps:
@@ -147,11 +144,8 @@ def run_training(cfg: TrainConfig, max_steps: int | None = None) -> dict:
             s_idx = idx[: cfg.batch_size_val]
             t_idx = s_idx if cfg.same_subj else idx[cfg.batch_size_val :]
             key, sub = jax.random.split(key)
-            src_b, trg_b = trainer.put_batch(
-                np.stack([maps_val[i] for i in s_idx]).astype(np.uint8),
-                np.stack([maps_val[i] for i in t_idx]).astype(np.uint8),
-            )
-            aux = trainer.val_step(params, sub, src_b, trg_b)
+            si, ti = trainer.put_indices(s_idx, t_idx)
+            aux = trainer.val_step_banked(params, sub, bank_val, si, ti)
             val_losses.append(float(aux["loss"]))
 
         sec_per_step = (time.time() - t0) / max(len(ep_losses), 1)

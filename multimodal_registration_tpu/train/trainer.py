@@ -151,6 +151,30 @@ class Trainer:
             out_shardings=self._repl,
         )
 
+        # banked variants: the whole label-map bank stays HBM-resident and the
+        # step gathers (bank[idx]) on device — no per-step host→device volume
+        # transfer (the reference feeds label maps from a host generator every
+        # batch, train_synthmorph.py:117-165)
+        def train_step_banked(params, opt_state, key, bank, src_idx, trg_idx):
+            return train_step(params, opt_state, key, bank[src_idx], bank[trg_idx])
+
+        def val_step_banked(params, key, bank, src_idx, trg_idx):
+            return val_step(params, key, bank[src_idx], bank[trg_idx])
+
+        # idx shardings are inherited from put_indices placement (data-sharded
+        # when divisible → the gathered batch is sharded too)
+        self.train_step_banked = jax.jit(
+            train_step_banked,
+            in_shardings=(self._repl, self._repl, self._repl, self._repl, None, None),
+            out_shardings=(self._repl, self._repl, self._repl),
+            donate_argnums=(0, 1),
+        )
+        self.val_step_banked = jax.jit(
+            val_step_banked,
+            in_shardings=(self._repl, self._repl, self._repl, None, None),
+            out_shardings=self._repl,
+        )
+
     # -- state ---------------------------------------------------------------
     def init_state(self, seed: Optional[int] = None):
         key = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
@@ -165,6 +189,18 @@ class Trainer:
         n = self.mesh.shape["data"]
         sh = self._batched if src.shape[0] % n == 0 else self._repl
         return jax.device_put(src, sh), jax.device_put(trg, sh)
+
+    def put_bank(self, maps: np.ndarray):
+        """Upload the full label-map bank (N, X, Y, Z) uint8, replicated."""
+        return jax.device_put(np.ascontiguousarray(maps), self._repl)
+
+    def put_indices(self, src_idx: np.ndarray, trg_idx: np.ndarray):
+        n = self.mesh.shape["data"]
+        sh = self._batched if src_idx.shape[0] % n == 0 else self._repl
+        return (
+            jax.device_put(np.asarray(src_idx, np.int32), sh),
+            jax.device_put(np.asarray(trg_idx, np.int32), sh),
+        )
 
     # -- checkpoints ---------------------------------------------------------
     def save_checkpoint(self, path: str, params, opt_state=None, epoch: int = 0):
