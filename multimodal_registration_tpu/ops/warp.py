@@ -29,9 +29,9 @@ def _gather_volume(vol_flat, ix, iy, iz, Y, Z):
 def _sample_linear_blockgather(vol, c):
     """Trilinear sampling with ONE ``lax.gather`` of 2×2×2×C corner blocks.
 
-    Equivalent to the 8-corner formulation (clamped coordinates make the
-    floor/ceil weights coincide at the edges) but issues a single gather —
-    on TPU this is ~8× less gather work, the dominant cost of the op.
+    NOTE: NOT used on TPU — XLA pads the gather output's minor dims
+    ((…,2,2,C) → (…,8,128) tiles), a ~20× memory expansion that OOMs at
+    192³ (measured). Kept for CPU where it is compact and fast.
     Requires every spatial dim >= 2.
     """
     X, Y, Z, C = vol.shape
@@ -84,9 +84,9 @@ def sample(vol: jnp.ndarray, coords: jnp.ndarray, interp: str = "linear") -> jnp
     if interp == "nearest":
         idx = jnp.round(c).astype(jnp.int32)
         out = _gather_volume(vol.reshape(-1, C), idx[..., 0], idx[..., 1], idx[..., 2], Y, Z)
-    elif min(X, Y, Z) >= 2:
+    elif min(X, Y, Z) >= 2 and jax.default_backend() == "cpu":
         out = _sample_linear_blockgather(vol, c)
-    else:  # degenerate tiny volumes: 8-corner fallback
+    else:  # TPU path: 8 flat gathers (see blockgather note above)
         vol_flat = vol.reshape(-1, C)
         c0 = jnp.floor(c)
         w1 = c - c0
