@@ -215,14 +215,20 @@ def register(
     res_dir: str = "res",
     out_im_name: str = "warped_im",
     out_field_name: str = "deform_field",
+    fixed_nii: "nifti.NiftiImage | None" = None,
+    moving_nii: "nifti.NiftiImage | None" = None,
 ):
     """Register moving → fixed and write the reference's output files.
 
     ``naming='bids'`` mirrors `bids_registration.py`; ``naming='standalone'``
     mirrors `3d_reg.py` (moved/warp in original space into ``res_dir``).
+    ``fixed_nii``/``moving_nii`` may be passed preloaded (e.g. from the native
+    prefetch pool) to skip the decode here.
     """
-    fixed_nii = nifti.load(fx_im_path)
-    moving_nii = nifti.load(mov_im_path)
+    if fixed_nii is None:
+        fixed_nii = nifti.load(fx_im_path)
+    if moving_nii is None:
+        moving_nii = nifti.load(mov_im_path)
     fx_stem = fx_im_path.split(".")[0]
     mov_stem = mov_im_path.split(".")[0]
 

@@ -63,10 +63,35 @@ def run_batch(
     results = []
     t_start = time.time()
 
+    # native prefetch pool: decode the next subjects' volumes concurrently
+    # with device work (jobs=1) — the sct_run_batch -jobs analogue for IO
+    prefetch = None
+    tickets = {}
+    try:
+        from multimodal_registration_tpu.pipeline.bids import subject_images
+        from multimodal_registration_tpu.utils.native import PrefetchPool
+
+        prefetch = PrefetchPool(n_threads=max(jobs, 2))
+        for s in subjects:
+            files = subject_images(path_data, s).files
+            tickets[s] = {
+                c: prefetch.submit(p)
+                for c, p in files.items()
+                if c in (pcfg.fx_contrast, pcfg.mov_contrast)
+            }
+    except Exception:
+        prefetch = None
+
     def one(subject):
+        preloaded = None
+        if prefetch is not None and subject in tickets:
+            try:
+                preloaded = {c: prefetch.wait(t) for c, t in tickets[subject].items()}
+            except Exception:
+                preloaded = None
         res = run_subject(
             cfg, pcfg, registrar, path_data, path_processed, subject,
-            segmenter=segmenter, qc=qc, registrar2=registrar2,
+            segmenter=segmenter, qc=qc, registrar2=registrar2, preloaded=preloaded,
         )
         with open(os.path.join(path_log, f"{subject.replace('/', '_')}.log"), "w") as f:
             f.write(json.dumps(res.__dict__, default=str, indent=2))
@@ -84,6 +109,8 @@ def run_batch(
     else:
         results = [one(s) for s in subjects]
 
+    if prefetch is not None:
+        prefetch.close()
     qc.write()
     summary = {
         "n_subjects": len(results),

@@ -100,6 +100,7 @@ def run_subject(
     segmenter: Segmenter | None = None,
     qc: QCReport | None = None,
     registrar2: Registrar | None = None,
+    preloaded: dict | None = None,  # contrast -> (data, affine) from prefetch
 ) -> SubjectResult:
     t0 = time.time()
     segmenter = segmenter or default_segmenter()
@@ -120,12 +121,21 @@ def run_subject(
         shutil.copy(imgs.files[pcfg.fx_contrast], fx_p)
         shutil.copy(imgs.files[pcfg.mov_contrast], mov_p)
 
+        pre_imgs = {}
+        if preloaded:
+            for contrast, (data, affine) in preloaded.items():
+                pre_imgs[contrast] = nifti.NiftiImage(data, affine)
+
         def do_register(mov_path):
             if pcfg.two_step and registrar2 is not None:
                 return register_two_steps(
                     cfg, registrar, registrar2, fx_p, mov_path, fx_contrast=pcfg.fx_contrast
                 )
-            return register(cfg, registrar, fx_p, mov_path, fx_contrast=pcfg.fx_contrast)
+            return register(
+                cfg, registrar, fx_p, mov_path, fx_contrast=pcfg.fx_contrast,
+                fixed_nii=pre_imgs.get(pcfg.fx_contrast),
+                moving_nii=pre_imgs.get(pcfg.mov_contrast) if mov_path == mov_p else None,
+            )
 
         out = do_register(mov_p)
         mov_stem = mov_p.split(".")[0]
