@@ -121,3 +121,41 @@ def warp(vol: jnp.ndarray, flow: jnp.ndarray, interp: str = "linear") -> jnp.nda
 def warp_batch(vol, flow, interp="linear"):
     """Batched warp over leading axis: ``vol (B,X,Y,Z,C)``, ``flow (B,X,Y,Z,3)``."""
     return jax.vmap(lambda v, f: warp(v, f, interp=interp))(vol, flow)
+
+
+def warp_onehot(labels: jnp.ndarray, flow: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """Trilinear warp of ``one_hot(labels)`` without gathering one-hot data.
+
+    Identity used: linear interpolation of a one-hot field equals the
+    corner-weighted sum of the one-hots of the 8 gathered INTEGER labels —
+    so only 1 channel is gathered instead of ``num_classes`` (26× less gather
+    traffic for the SynthMorph training loss, `train_synthmorph.py:298`).
+    Gradients w.r.t. ``flow`` flow through the interpolation weights exactly
+    as in the dense formulation (the one-hot corner values are constants).
+
+    Args: ``labels (X,Y,Z)`` int, ``flow (X,Y,Z,3)`` → ``(X,Y,Z,L)`` float32.
+    """
+    X, Y, Z = labels.shape
+    grid = identity_grid((X, Y, Z), dtype=jnp.float32)
+    c = jnp.clip(grid + flow.astype(jnp.float32), 0.0,
+                 jnp.array([X - 1, Y - 1, Z - 1], jnp.float32))
+    c0 = jnp.floor(c)
+    w1 = c - c0
+    i0 = c0.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, jnp.array([X - 1, Y - 1, Z - 1], jnp.int32))
+    lab_flat = labels.reshape(-1)
+    out = jnp.zeros((X, Y, Z, num_classes), jnp.float32)
+    for dx in (0, 1):
+        wx = w1[..., 0] if dx else 1.0 - w1[..., 0]
+        ix = (i1 if dx else i0)[..., 0]
+        for dy in (0, 1):
+            wy = w1[..., 1] if dy else 1.0 - w1[..., 1]
+            iy = (i1 if dy else i0)[..., 1]
+            for dz in (0, 1):
+                wz = w1[..., 2] if dz else 1.0 - w1[..., 2]
+                iz = (i1 if dz else i0)[..., 2]
+                lin = (ix * Y + iy) * Z + iz
+                corner_lab = jnp.take(lab_flat, lin.reshape(-1), axis=0).reshape(X, Y, Z)
+                w = (wx * wy * wz)[..., None]
+                out = out + w * jax.nn.one_hot(corner_lab, num_classes, dtype=jnp.float32)
+    return out

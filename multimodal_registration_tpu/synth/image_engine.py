@@ -141,3 +141,12 @@ def labels_to_image(
 
     one_hot = jax.nn.one_hot(lab_idx, L, dtype=jnp.float32)
     return img, one_hot
+
+
+def labels_to_image_with_indices(key, label_map, cfg: ImageEngineConfig):
+    """Like :func:`labels_to_image` but also returns the warped integer label
+    map (for gather-light one-hot warping, :func:`ops.warp.warp_onehot`).
+    The unused one-hot is dead-code-eliminated by XLA under jit."""
+    img, one_hot = labels_to_image(key, label_map, cfg)
+    lab_idx = jnp.argmax(one_hot, axis=-1).astype(jnp.int32)
+    return img, one_hot, lab_idx
