@@ -51,11 +51,19 @@ def pair_registration(argv=None):
     p.add_argument("--res-dir", default="res")
     p.add_argument("--out-img-name", default="warped_im")
     p.add_argument("--def-field-name", default="deform_field")
+    p.add_argument("--warp-interp", default=None,
+                   help="override warp interpolation (linear/nearest), 3d_reg.py:443 parity")
+    p.add_argument("--resample-interp", default=None,
+                   help="override resample interpolation (linear/nearest/spline)")
     p.add_argument("--one-cpu-tf", default="True")
     args = p.parse_args(argv)
     _maybe_one_cpu(args.one_cpu_tf)
 
     cfg = InferenceConfig.from_json(args.config_path)
+    if args.warp_interp:
+        cfg.warp_interpolation = args.warp_interp
+    if args.resample_interp:
+        cfg.resample_interpolation = args.resample_interp
     params = load_params_any(args.model_path, cfg)
     reg = Registrar(cfg, params)
     return register(

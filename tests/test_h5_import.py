@@ -91,3 +91,23 @@ def test_imported_params_apply(tmp_path):
         params, jnp.zeros((1, 16, 16, 16, 1)), jnp.zeros((1, 16, 16, 16, 1))
     )
     assert out["moved"].shape == (1, 16, 16, 16, 1)
+
+
+def test_export_import_roundtrip(tmp_path):
+    """h5 export → import must reproduce the exact params."""
+    import numpy as np
+
+    from multimodal_registration_tpu.models.h5_export import export_keras_vxm_h5
+
+    rng = np.random.default_rng(7)
+    template = params_template(CFG)
+    params = jax_tree = __import__("jax").tree_util.tree_map(
+        lambda x: np.asarray(rng.normal(size=x.shape), np.float32), template
+    )
+    p = str(tmp_path / "export.h5")
+    export_keras_vxm_h5(params, CFG, p)
+    back = import_keras_vxm_h5(p, template, CFG)
+    flat_a = __import__("jax").tree_util.tree_leaves(params)
+    flat_b = __import__("jax").tree_util.tree_leaves(back)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(a, b)
