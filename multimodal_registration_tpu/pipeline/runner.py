@@ -52,6 +52,8 @@ class PipelineConfig:
     two_step: bool = False
     csv_dir: str = "."
     debugging: bool = True  # keep intermediate files (sh DEBUGGING flag)
+    keep_ori_naming_loc: bool = False  # sh KEEP_ORI_NAMING_LOC flag
+    reorganize: bool = True  # origin/res/seg/add_res layout (sh:166-221)
 
 
 @dataclass
@@ -90,6 +92,52 @@ def _evaluate(sub_id, fx_seg_p, mov_seg_p, moved_seg_p, fx_p, mov_p, moved_p, wa
     ])
 
 
+def _reorganize_outputs(work, pcfg, fx_p, mov_p, fx_proc_p, moved_p):
+    """Output layout parity with `pipeline_bids_register_evaluate.sh:166-221`:
+    originals (+ JSON sidecars) → ``origin/``; processed fixed + moved →
+    ``res/`` (or back under original names if ``keep_ori_naming_loc``); with
+    ``debugging``: segmentations → ``seg/``, everything else → ``add_res/``;
+    otherwise leftovers are deleted. Returns the two final output paths."""
+
+    def _mv(src, dstdir):
+        os.makedirs(dstdir, exist_ok=True)
+        dst = os.path.join(dstdir, os.path.basename(src))
+        if os.path.exists(src):
+            shutil.move(src, dst)
+        return dst
+
+    origin = os.path.join(work, "origin")
+    _mv(fx_p, origin)
+    _mv(mov_p, origin)
+    for f in list(os.listdir(work)):
+        if f.endswith(".json"):
+            _mv(os.path.join(work, f), origin)
+
+    res = os.path.join(work, "res")
+    final_fx = _mv(fx_proc_p, res)
+    final_moved = _mv(moved_p, res)
+
+    if pcfg.debugging:
+        seg_dir = os.path.join(work, "seg")
+        add_res = os.path.join(work, "add_res")
+        for f in sorted(os.listdir(work)):
+            p = os.path.join(work, f)
+            if not os.path.isfile(p) or not f.endswith(".nii.gz"):
+                continue
+            _mv(p, seg_dir if f.endswith("_seg.nii.gz") else add_res)
+    else:
+        for f in list(os.listdir(work)):
+            p = os.path.join(work, f)
+            if os.path.isfile(p) and f.endswith(".nii.gz"):
+                os.remove(p)
+
+    if pcfg.keep_ori_naming_loc:
+        final_fx = shutil.move(final_fx, os.path.join(work, os.path.basename(fx_p)))
+        final_moved = shutil.move(final_moved, os.path.join(work, os.path.basename(mov_p)))
+        shutil.rmtree(res, ignore_errors=True)
+    return final_fx, final_moved
+
+
 def run_subject(
     cfg: InferenceConfig,
     pcfg: PipelineConfig,
@@ -120,6 +168,10 @@ def run_subject(
         mov_p = os.path.join(work, f"{prefix}_{pcfg.mov_contrast}.nii.gz")
         shutil.copy(imgs.files[pcfg.fx_contrast], fx_p)
         shutil.copy(imgs.files[pcfg.mov_contrast], mov_p)
+        for src in (imgs.files[pcfg.fx_contrast], imgs.files[pcfg.mov_contrast]):
+            sidecar = src.replace(".nii.gz", ".json").replace(".nii", ".json")
+            if os.path.exists(sidecar):
+                shutil.copy(sidecar, work)  # BIDS sidecars travel too (rsync parity)
 
         pre_imgs = {}
         if preloaded:
@@ -199,17 +251,19 @@ def run_subject(
                 },
             )
 
+        # ---- reorganize outputs (sh:166-221) ----
+        final_fx, final_moved = fx_proc_p, moved_p
+        if pcfg.reorganize:
+            final_fx, final_moved = _reorganize_outputs(
+                work, pcfg, fx_p, mov_p, fx_proc_p, moved_p
+            )
+
         # ---- output existence check (sh:223-243) ----
-        missing = [p for p in (moved_p, warp_p, fx_seg_p, moved_seg_p) if not os.path.exists(p)]
+        missing = [p for p in (final_fx, final_moved) if not os.path.exists(p)]
         if missing:
             with open(os.path.join(path_out, "_error_check_output_files.log"), "a") as f:
                 for p in missing:
                     f.write(f"{subject}: missing {p}\n")
-
-        if not pcfg.debugging:
-            for p in (fx_proc_p, mov_proc_p):
-                if os.path.exists(p):
-                    os.remove(p)
 
         return SubjectResult(
             subject, not missing, time.time() - t0,

@@ -113,3 +113,26 @@ def test_run_batch_with_config_and_opt_affine(tmp_path):
     # per-subject logs + summary
     assert os.path.exists(os.path.join(out, "log", "sub-01.log"))
     assert os.path.exists(os.path.join(out, "batch_summary.json"))
+
+
+def test_reorganized_output_layout(tmp_path):
+    data = _make_bids(tmp_path, subjects=("sub-09",))
+    cfgp = str(tmp_path / "cfg.json")
+    with open(cfgp, "w") as f:
+        json.dump(dict(enc=[4] * 4, dec=[4] * 6, compute_dtype="float32"), f)
+    out = str(tmp_path / "out3")
+    results, summary = run_batch(
+        data, out, _weights(tmp_path), config_path=cfgp,
+        fx_contrast="T2w", mov_contrast="T1w",
+    )
+    assert summary["n_ok"] == 1, [r.error for r in results]
+    work = os.path.join(out, "data_processed", "sub-09")
+    # origin/: originals; res/: processed fixed + moved; seg/ + add_res/: rest
+    assert os.path.exists(os.path.join(work, "origin", "sub-09_T2w.nii.gz"))
+    assert os.path.exists(os.path.join(work, "res", "sub-09_T2w_proc.nii.gz"))
+    assert os.path.exists(os.path.join(work, "res", "sub-09_T1w_proc_reg_to_T2w.nii.gz"))
+    assert os.path.isdir(os.path.join(work, "seg"))
+    assert os.path.isdir(os.path.join(work, "add_res"))
+    # no stray volumes at the top level
+    strays = [f for f in os.listdir(work) if f.endswith(".nii.gz")]
+    assert strays == []
