@@ -51,6 +51,9 @@ class VxmConfig:
     int_res: int = 2
     svf_res: int = 2
     compute_dtype: str = "bfloat16"
+    # reduced precision for gathered values inside the scaling-and-squaring
+    # loop ("" disables); detJ-neutral, ~27% faster warps (PERF.md)
+    integrate_payload_dtype: str = "bfloat16"
 
     @classmethod
     def from_json_dict(cls, d: dict) -> "VxmConfig":
@@ -61,6 +64,9 @@ class VxmConfig:
             int_res=int(d.get("int_res", cls.int_res)),
             svf_res=int(d.get("svf_res", cls.svf_res)),
             compute_dtype=str(d.get("compute_dtype", cls.compute_dtype)),
+            integrate_payload_dtype=str(
+                d.get("integrate_payload_dtype", cls.integrate_payload_dtype)
+            ),
         )
 
 
@@ -117,7 +123,10 @@ class VxmDense(nn.Module):
 
         # diffeomorphic integration (scaling and squaring)
         if cfg.int_steps > 0:
-            pos_flow = jax.vmap(lambda v: integrate_svf(v, cfg.int_steps))(flow)
+            pd = jnp.dtype(cfg.integrate_payload_dtype) if cfg.integrate_payload_dtype else None
+            pos_flow = jax.vmap(
+                lambda v: integrate_svf(v, cfg.int_steps, payload_dtype=pd)
+            )(flow)
         else:
             pos_flow = flow
 

@@ -17,17 +17,29 @@ import jax.numpy as jnp
 from multimodal_registration_tpu.ops.warp import warp
 
 
-def integrate_svf(vel: jnp.ndarray, int_steps: int = 5) -> jnp.ndarray:
+def integrate_svf(
+    vel: jnp.ndarray, int_steps: int = 5, payload_dtype=None
+) -> jnp.ndarray:
     """Integrate an SVF ``(X, Y, Z, 3)`` into a displacement field.
 
     ``int_steps=0`` returns ``vel`` unchanged (matching VecInt being skipped
     when ``int_steps == 0`` in ``VxmDense``).
+
+    ``payload_dtype``: optional reduced precision for the *gathered values*
+    inside each squaring step (coordinates and the accumulator stay float32).
+    bfloat16 cuts gather bytes in half (~27% faster on TPU) and changes the
+    final field by <0.03 voxels with identical detJ statistics (measured —
+    see PERF.md).
     """
     if int_steps <= 0:
         return vel
     phi = vel.astype(jnp.float32) / (2.0**int_steps)
 
     def body(_, p):
-        return p + warp(p, p, interp="linear")
+        if payload_dtype is not None:
+            inc = warp(p.astype(payload_dtype), p, interp="linear").astype(jnp.float32)
+        else:
+            inc = warp(p, p, interp="linear")
+        return p + inc
 
     return jax.lax.fori_loop(0, int_steps, body, phi)
