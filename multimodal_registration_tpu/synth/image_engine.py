@@ -60,6 +60,7 @@ class ImageEngineConfig:
     # is statistically equivalent and ~8x cheaper (scaling-and-squaring warps
     # are the hot op — see PERF.md).
     svf_int_res: int = 2
+    integrate_payload_dtype: str = "bfloat16"  # see ops.integrate / PERF.md
     blur_radius: int = 3  # static kernel radius (≥ 3·blur_std covers the mass)
 
 
@@ -95,16 +96,17 @@ def labels_to_image(
     # 2. random diffeomorphic deformation of the label map
     if cfg.vel_std > 0:
         r = max(int(cfg.svf_int_res), 1)
+        pd = jnp.dtype(cfg.integrate_payload_dtype) if cfg.integrate_payload_dtype else None
         if r > 1 and all(s % r == 0 for s in shape):
             small = tuple(s // r for s in shape)
             svf = draw_perlin(k_svf, (*small, 3), [cfg.vel_res / r], max_std=cfg.vel_std)
             # integrate at reduced res (vectors in small-grid units), then
             # upsample; rescale_field scales the vectors by r
-            phi_small = integrate_svf(svf / r, cfg.int_steps)
+            phi_small = integrate_svf(svf / r, cfg.int_steps, payload_dtype=pd)
             phi = rescale_field(phi_small, float(r), out_shape=shape)
         else:
             svf = draw_perlin(k_svf, (*shape, 3), [cfg.vel_res], max_std=cfg.vel_std)
-            phi = integrate_svf(svf, cfg.int_steps)
+            phi = integrate_svf(svf, cfg.int_steps, payload_dtype=pd)
         lab = warp(label_map.astype(jnp.float32), phi, interp="nearest")
     else:
         lab = label_map.astype(jnp.float32)
