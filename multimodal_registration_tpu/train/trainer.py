@@ -262,7 +262,9 @@ def _unflatten_params(template, flat: dict):
 
 def load_checkpoint_any(path: str, trainer: "Trainer"):
     """Load orbax dir, .npz flat archive, or Keras .h5 (pretrained import)."""
-    params_template, _ = trainer.init_state()
+    from multimodal_registration_tpu.models.vxm_dense import params_template as _tmpl
+
+    params_template = _tmpl(trainer.vxm_cfg)
     if path.endswith(".npz"):
         flat = dict(np.load(path))
         return _unflatten_params(params_template, flat), None, 0
