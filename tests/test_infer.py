@@ -202,3 +202,35 @@ class TestGenApplyDefField:
         assert os.path.exists(out["moved"])
         f = nifti.load(out["def_field"])
         assert f.shape == (24, 24, 24, 3)
+
+
+class TestCascadeSubvol:
+    def _setup(self, tmp_path, interp):
+        fx = str(tmp_path / "fx.nii.gz")
+        mov = str(tmp_path / "mov.nii.gz")
+        _make_vol(fx, (52, 52, 52))
+        _make_vol(mov, (52, 52, 52), seed=1)
+        cfg = _tiny_cfg(
+            use_subvol=True, subvol_size=[32, 32, 32], min_perc_overlap=0.2,
+            warp_interpolation=interp,
+        )
+        reg1 = Registrar(cfg, load_params_any(_save_params_npz(tmp_path, cfg), cfg))
+        reg2 = Registrar(cfg, load_params_any(_save_params_npz(tmp_path, cfg), cfg))
+        return cfg, reg1, reg2, fx, mov
+
+    def test_cascade_subvol_linear(self, tmp_path):
+        cfg, reg1, reg2, fx, mov = self._setup(tmp_path, "linear")
+        out = register_two_steps(cfg, reg1, reg2, fx, mov)
+        assert out["moved"].shape == (48, 48, 48)
+        assert np.isfinite(out["moved"]).all()
+        assert os.path.exists(mov.split(".")[0] + "_proc_field_to_T1w.nii.gz")
+
+    def test_cascade_subvol_nearest_repreprocess(self, tmp_path):
+        """The subvol-nearest path re-runs preprocess on the moved result
+        (bids_two_steps_registration.py:455) and saves the first-step field."""
+        cfg, reg1, reg2, fx, mov = self._setup(tmp_path, "nearest")
+        out = register_two_steps(cfg, reg1, reg2, fx, mov)
+        assert np.isfinite(out["moved"]).all()
+        stem = mov.split(".")[0]
+        assert os.path.exists(stem + "_first_proc_field_to_T1w.nii.gz")
+        assert os.path.exists(stem + "_proc_first_reg_to_T1w.nii.gz")
