@@ -1,0 +1,129 @@
+"""Closed-loop learning validation on real hardware.
+
+Trains a small SynthMorph model from scratch for a few hundred fused steps
+(96³, 8 labels) and verifies that registration quality on held-out synthetic
+pairs improves over the identity baseline: NMI(fixed, moved) > NMI(fixed,
+moving) and label Dice rises. This is the end-to-end "it actually learns"
+check the unit suite can't provide.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from multimodal_registration_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_registration_tpu.evalx.nmi import normalized_mutual_information
+from multimodal_registration_tpu.evalx.overlap import overlap_metrics
+from multimodal_registration_tpu.synth.image_engine import labels_to_image
+from multimodal_registration_tpu.synth.labelmaps import generate_label_maps
+from multimodal_registration_tpu.train.config import TrainConfig
+from multimodal_registration_tpu.train.trainer import Trainer
+
+
+def main(steps: int = 300, shape=(96, 96, 96), num_labels: int = 8, lr: float = 1e-3):
+    cfg = TrainConfig.from_dict(
+        dict(
+            in_shape=list(shape),
+            num_labels=num_labels,
+            num_maps=16,
+            im_scales=[8, 16, 32],
+            def_scales=[8, 16],
+            batch_size=1,
+            lr=lr,
+            epochs=1,
+            same_subj=True,
+        )
+    )
+    trainer = Trainer(cfg)
+    params, opt_state = trainer.init_state()
+
+    maps = generate_label_maps(
+        jax.random.PRNGKey(0), cfg.num_maps, shape, num_labels,
+        im_scales=cfg.im_scales, def_scales=cfg.def_scales,
+    )
+    bank = trainer.put_bank(np.stack(maps).astype(np.uint8))
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(1)
+
+    # held-out eval pairs: two independent synthesizations of the same map
+    eval_cfg = trainer.engine_cfg
+    def make_pair(seed):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1000 + seed))
+        lab = jnp.asarray(maps[seed % len(maps)])
+        img1, oh1 = labels_to_image(k1, lab, eval_cfg)
+        img2, oh2 = labels_to_image(k2, lab, eval_cfg)
+        return (np.asarray(img1), np.asarray(jnp.argmax(oh1, -1)),
+                np.asarray(img2), np.asarray(jnp.argmax(oh2, -1)))
+
+    pairs = [make_pair(s) for s in range(3)]
+
+    @jax.jit
+    def infer(params, mov, fx, mov_lab):
+        out = trainer.model.apply(params, mov[None, ..., None], fx[None, ..., None])
+        flow = out["flow_fullres"][0]
+        from multimodal_registration_tpu.ops.warp import warp
+
+        moved = out["moved"][0, ..., 0]
+        moved_lab = warp(mov_lab.astype(jnp.float32), flow, interp="nearest")
+        return moved, moved_lab
+
+    def evaluate(params):
+        nmis, dices = [], []
+        for mov_img, mov_lab, fx_img, fx_lab in pairs:
+            moved, moved_lab = infer(
+                params, jnp.asarray(mov_img), jnp.asarray(fx_img), jnp.asarray(mov_lab)
+            )
+            nmis.append(normalized_mutual_information(fx_img, np.asarray(moved)))
+            # foreground Dice over all labels > 0
+            m = overlap_metrics((fx_lab > 0).astype(float), (np.asarray(moved_lab) > 0).astype(float))
+            dices.append(m["dice"])
+        return float(np.mean(nmis)), float(np.mean(dices))
+
+    base_nmi = float(np.mean([
+        normalized_mutual_information(fx, mov) for mov, _, fx, _ in pairs
+    ]))
+    base_dice = float(np.mean([
+        overlap_metrics((fx_lab > 0).astype(float), (mov_lab > 0).astype(float))["dice"]
+        for _, mov_lab, _, fx_lab in pairs
+    ]))
+
+    t0 = time.time()
+    losses = []
+    for step in range(steps):
+        idx = rng.integers(len(maps), size=1)
+        si, ti = trainer.put_indices(idx, idx)  # same_subj
+        key, sub = jax.random.split(key)
+        params, opt_state, aux = trainer.train_step_banked(params, opt_state, sub, bank, si, ti)
+        if step % 50 == 0:
+            losses.append(float(aux["loss"]))
+            print(f"step {step}: loss {losses[-1]:.4f} ({(time.time()-t0)/(step+1):.2f}s/step)",
+                  flush=True)
+
+    nmi_after, dice_after = evaluate(params)
+    result = {
+        "steps": steps,
+        "loss_first": losses[0],
+        "loss_last": float(aux["loss"]),
+        "nmi_identity": round(base_nmi, 4),
+        "nmi_after": round(nmi_after, 4),
+        "dice_identity": round(base_dice, 4),
+        "dice_after": round(dice_after, 4),
+        "learned": bool(nmi_after > base_nmi and dice_after > base_dice),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main(steps=int(sys.argv[1]) if len(sys.argv) > 1 else 300)

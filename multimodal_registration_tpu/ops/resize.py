@@ -32,6 +32,27 @@ def _interp_matrix(n_out: int, n_in: int, zoom: float) -> np.ndarray:
     return M
 
 
+def _upsample2x_axis(v: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact corner-aligned 2× linear upsample along one axis:
+    ``out[2i] = v[i]``, ``out[2i+1] = (v[i] + v[i+1]) / 2`` (edge-clamped) —
+    identical to the zoom-2 interpolation matrix, but pure VPU interleaving
+    instead of a dense matmul (the einsum route burns ~200 GFLOPs on a
+    2-sparse operator at 192³ — see PERF.md)."""
+    import jax.lax as lax
+
+    n = v.shape[axis]
+    nxt = jnp.concatenate(
+        [
+            lax.slice_in_dim(v, 1, n, axis=axis),
+            lax.slice_in_dim(v, n - 1, n, axis=axis),
+        ],
+        axis=axis,
+    )
+    mid = 0.5 * (v + nxt)
+    out = jnp.stack([v, mid], axis=axis + 1)
+    return out.reshape(*v.shape[:axis], 2 * n, *v.shape[axis + 1 :])
+
+
 def resize(vol: jnp.ndarray, zoom, out_shape=None) -> jnp.ndarray:
     """Resize spatial dims of ``(X, Y, Z, [C])`` by ``zoom`` (scalar or 3-seq)."""
     squeeze = vol.ndim == 3
@@ -42,6 +63,22 @@ def resize(vol: jnp.ndarray, zoom, out_shape=None) -> jnp.ndarray:
     in_shape = vol.shape[:3]
     if out_shape is None:
         out_shape = tuple(int(round(s * z)) for s, z in zip(in_shape, zoom))
+
+    # fast exact paths for the model's power-of-two rescales
+    if all(float(z) == 2.0 for z in zoom) and tuple(out_shape) == tuple(
+        2 * s for s in in_shape
+    ):
+        v = vol.astype(vol.dtype if jnp.issubdtype(vol.dtype, jnp.floating) else jnp.float32)
+        for ax in range(3):
+            v = _upsample2x_axis(v, ax)
+        return v[..., 0] if squeeze else v
+    if all(float(z) == 0.5 for z in zoom) and tuple(out_shape) == tuple(
+        s // 2 for s in in_shape
+    ):
+        v = vol[::2, ::2, ::2]  # zoom-0.5 matrix is an exact stride-2 pick
+        v = v.astype(v.dtype if jnp.issubdtype(v.dtype, jnp.floating) else jnp.float32)
+        return v[..., 0] if squeeze else v
+
     mats = [
         jnp.asarray(_interp_matrix(int(o), int(s), float(z)))
         for o, s, z in zip(out_shape, in_shape, zoom)

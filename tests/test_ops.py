@@ -158,3 +158,31 @@ class TestCompose:
         np.testing.assert_allclose(
             one[2:-2, 2:-4, 2:-2], seq[2:-2, 2:-4, 2:-2], atol=1e-5
         )
+
+
+class TestResizeFastPaths:
+    def test_upsample2x_equals_einsum_path(self):
+        vol = _rand_vol((6, 7, 8, 3))
+        fast = np.asarray(ops.resize(jnp.asarray(vol), 2.0))
+        # force the general einsum path via a non-doubled out_shape trick:
+        # compute reference with explicit interpolation matrices
+        from multimodal_registration_tpu.ops.resize import _interp_matrix
+        ref = vol
+        for ax, (o, i) in enumerate(zip((12, 14, 16), (6, 7, 8))):
+            M = _interp_matrix(o, i, 2.0)
+            ref = np.moveaxis(np.tensordot(M, np.moveaxis(ref, ax, 0), axes=1), 0, ax)
+        np.testing.assert_allclose(fast, ref, atol=1e-6)
+
+    def test_downsample05_equals_stride(self):
+        vol = _rand_vol((8, 8, 8))
+        out = np.asarray(ops.resize(jnp.asarray(vol), 0.5))
+        np.testing.assert_allclose(out, vol[::2, ::2, ::2], atol=1e-7)
+
+    def test_rescale_field_2x_fast(self):
+        flow = _rand_vol((6, 6, 6, 3))
+        out = np.asarray(ops.rescale_field(jnp.asarray(flow), 2.0))
+        np.testing.assert_allclose(out[::2, ::2, ::2], flow * 2.0, atol=1e-6)
+        # odd positions are midpoints (scaled)
+        np.testing.assert_allclose(
+            out[1, 0, 0], (flow[0, 0, 0] + flow[1, 0, 0]) * 0.5 * 2.0, atol=1e-6
+        )
