@@ -78,6 +78,17 @@ def main(steps: int = 300, shape=(96, 96, 96), num_labels: int = 8, lr: float = 
         moved_lab = warp(mov_lab.astype(jnp.float32), flow, interp="nearest")
         return moved, moved_lab
 
+    def _mean_label_dice(a_lab, b_lab):
+        # per-label soft-insensitive Dice, mean over labels present in either
+        ds = []
+        for l in range(1, num_labels):
+            ta, tb = a_lab == l, b_lab == l
+            denom = ta.sum() + tb.sum()
+            if denom == 0:
+                continue
+            ds.append(2.0 * np.logical_and(ta, tb).sum() / denom)
+        return float(np.mean(ds)) if ds else 1.0
+
     def evaluate(params):
         nmis, dices = [], []
         for mov_img, mov_lab, fx_img, fx_lab in pairs:
@@ -85,17 +96,14 @@ def main(steps: int = 300, shape=(96, 96, 96), num_labels: int = 8, lr: float = 
                 params, jnp.asarray(mov_img), jnp.asarray(fx_img), jnp.asarray(mov_lab)
             )
             nmis.append(normalized_mutual_information(fx_img, np.asarray(moved)))
-            # foreground Dice over all labels > 0
-            m = overlap_metrics((fx_lab > 0).astype(float), (np.asarray(moved_lab) > 0).astype(float))
-            dices.append(m["dice"])
+            dices.append(_mean_label_dice(fx_lab, np.asarray(moved_lab)))
         return float(np.mean(nmis)), float(np.mean(dices))
 
     base_nmi = float(np.mean([
         normalized_mutual_information(fx, mov) for mov, _, fx, _ in pairs
     ]))
     base_dice = float(np.mean([
-        overlap_metrics((fx_lab > 0).astype(float), (mov_lab > 0).astype(float))["dice"]
-        for _, mov_lab, _, fx_lab in pairs
+        _mean_label_dice(fx_lab, mov_lab) for _, mov_lab, _, fx_lab in pairs
     ]))
 
     t0 = time.time()
