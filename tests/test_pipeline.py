@@ -136,3 +136,26 @@ def test_reorganized_output_layout(tmp_path):
     # no stray volumes at the top level
     strays = [f for f in os.listdir(work) if f.endswith(".nii.gz")]
     assert strays == []
+
+
+def test_qc_report_content(tmp_path):
+    from multimodal_registration_tpu.pipeline.qc import QCReport
+
+    vols = {}
+    for name in ("fx", "mov", "moved"):
+        p = str(tmp_path / f"{name}.nii.gz")
+        nifti.save(nifti.NiftiImage(_cord_vol(seed=len(vols)), np.eye(4)), p)
+        vols[name] = p
+    seg = str(tmp_path / "seg.nii.gz")
+    nifti.save(nifti.NiftiImage((_cord_vol() > 1.0).astype(np.uint8), np.eye(4)), seg)
+
+    qc = QCReport(str(tmp_path / "qc"), title="Test QC")
+    qc.add_subject(
+        "sub-77", vols["fx"], vols["mov"], vols["moved"],
+        seg_paths={"fixed": seg}, metrics={"dice_after": 0.91},
+    )
+    out = qc.write()
+    html_text = open(out).read()
+    assert "sub-77" in html_text
+    assert "dice_after" in html_text
+    assert html_text.count("data:image/png;base64") == 3
