@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from multimodal_registration_tpu.ops.integrate import integrate_svf
 from multimodal_registration_tpu.ops.resize import rescale_field
-from multimodal_registration_tpu.ops.warp import warp
+from multimodal_registration_tpu.ops.warp import warp, warp_onehot
 from multimodal_registration_tpu.synth.perlin import draw_perlin
 
 
@@ -82,13 +82,12 @@ def _gaussian_blur(img: jnp.ndarray, sigma: jnp.ndarray, radius: int) -> jnp.nda
     return out
 
 
-def labels_to_image(
+def _labels_to_image_impl(
     key: jax.Array,
     label_map: jnp.ndarray,
     cfg: ImageEngineConfig,
 ):
-    """Synthesize ``(image (X,Y,Z), one_hot_map (X,Y,Z,L))`` from an integer
-    label map whose values already lie in ``[0, num_labels)``."""
+    """Core engine: returns ``(image, soft_map, phi)``."""
     shape = label_map.shape
     L = cfg.num_labels
     (k_svf, k_mean, k_std, k_noise, k_blur, k_bias, k_gamma, k_zbg) = jax.random.split(key, 8)
@@ -109,6 +108,7 @@ def labels_to_image(
             phi = integrate_svf(svf, cfg.int_steps, payload_dtype=pd)
         lab = warp(label_map.astype(jnp.float32), phi, interp="nearest")
     else:
+        phi = jnp.zeros((*shape, 3), jnp.float32)
         lab = label_map.astype(jnp.float32)
     lab_idx = lab.astype(jnp.int32)
 
@@ -141,14 +141,31 @@ def labels_to_image(
         g = jnp.exp(cfg.gamma * jax.random.normal(k_gamma, ()))
         img = jnp.power(jnp.clip(img, 1e-7, 1.0), g)
 
-    one_hot = jax.nn.one_hot(lab_idx, L, dtype=jnp.float32)
-    return img, one_hot
+    # The map output is the LINEARLY warped one-hot (soft boundaries) —
+    # matching the reference generator, whose SpatialTransformer interpolates
+    # the one-hot map linearly. This softness is load-bearing: with hard
+    # (nearest-then-one-hot) maps the Dice gradient only exists in a razor-thin
+    # boundary band and training provably stalls at zero flow (PERF.md
+    # "training correctness" note). warp_onehot gathers only the integer map.
+    if cfg.vel_std > 0:
+        soft = warp_onehot(label_map.astype(jnp.int32), phi, L)
+    else:
+        soft = jax.nn.one_hot(lab_idx, L, dtype=jnp.float32)
+    return img, soft, phi
 
 
-def labels_to_image_with_indices(key, label_map, cfg: ImageEngineConfig):
-    """Like :func:`labels_to_image` but also returns the warped integer label
-    map (for gather-light one-hot warping, :func:`ops.warp.warp_onehot`).
-    The unused one-hot is dead-code-eliminated by XLA under jit."""
-    img, one_hot = labels_to_image(key, label_map, cfg)
-    lab_idx = jnp.argmax(one_hot, axis=-1).astype(jnp.int32)
-    return img, one_hot, lab_idx
+def labels_to_image(key: jax.Array, label_map: jnp.ndarray, cfg: ImageEngineConfig):
+    """Synthesize ``(image (X,Y,Z), soft_one_hot_map (X,Y,Z,L))`` from an
+    integer label map whose values already lie in ``[0, num_labels)``."""
+    img, soft, _ = _labels_to_image_impl(key, label_map, cfg)
+    return img, soft
+
+
+def labels_to_image_full(key, label_map, cfg: ImageEngineConfig):
+    """:func:`labels_to_image` variant that additionally returns the raw
+    (pre-warp) integer label map and the generator's displacement field, so
+    the training loss can warp labels with a single composed interpolation
+    (``warp_onehot(raw, compose(phi_gen, flow))``). Unused outputs are
+    dead-code-eliminated by XLA under jit."""
+    img, soft, phi = _labels_to_image_impl(key, label_map, cfg)
+    return img, soft, label_map.astype(jnp.int32), phi

@@ -36,13 +36,14 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from multimodal_registration_tpu.losses import dice_loss, dice_loss_zeropad, grad_loss
 from multimodal_registration_tpu.models.vxm_dense import VxmConfig, VxmDense
+from multimodal_registration_tpu.ops.field import compose_fields
 from multimodal_registration_tpu.ops.warp import warp, warp_onehot
 from multimodal_registration_tpu.parallel.mesh import make_mesh
 from multimodal_registration_tpu.synth.augment import maybe_zero_borders, random_flips
 from multimodal_registration_tpu.synth.image_engine import (
     ImageEngineConfig,
     labels_to_image,
-    labels_to_image_with_indices,
+    labels_to_image_full,
 )
 from multimodal_registration_tpu.train.config import TrainConfig
 
@@ -83,25 +84,29 @@ def make_loss_fn(model: VxmDense, engine_cfg: ImageEngineConfig, cfg: TrainConfi
             if zero_borders:
                 s = maybe_zero_borders(k_zb_s, s, cfg.zero_bord_scale, cfg.zero_bord_frac)
                 t = maybe_zero_borders(k_zb_t, t, cfg.zero_bord_scale, cfg.zero_bord_frac)
-            # src: only the integer label map is needed (one-hot is DCE'd);
-            # trg: the one-hot target for the Dice loss
-            img1, _, lab1 = labels_to_image_with_indices(k_g1, s, engine_cfg)
+            # src: raw labels + generator field (for the composed label warp);
+            # trg: the SOFT one-hot target for the Dice loss
+            img1, _, raw1, phi1 = labels_to_image_full(k_g1, s, engine_cfg)
             img2, map2 = labels_to_image(k_g2, t, engine_cfg)
-            return img1, lab1, img2, map2
+            return img1, raw1, phi1, img2, map2
 
         keys = jax.random.split(key, src_lab.shape[0])
         return jax.vmap(per_sample)(keys, src_lab, trg_lab)
 
     def loss_fn(params, key, src_lab, trg_lab):
-        img1, lab1, img2, map2 = synthesize(key, src_lab, trg_lab)
+        img1, raw1, phi1, img2, map2 = synthesize(key, src_lab, trg_lab)
         out = model.apply(params, img1[..., None], img2[..., None])
         flow = out["flow_fullres"]
-        # gather-light one-hot warp: 1-channel integer gathers + weighted
-        # one-hot accumulation (identical value+gradient to linear-warping
-        # the dense one-hot; 26x less gather traffic)
+        # prediction = SOFT one-hot of the raw source labels warped by the
+        # COMPOSED generator+model field. Reference semantics are the
+        # sequential pair gen-warp(map) → model-warp(map_1)
+        # (train_synthmorph.py:298); composing the fields first gives the same
+        # transform with a single interpolation, and lets warp_onehot gather
+        # only the 1-channel integer map instead of all L one-hot channels.
+        total_field = jax.vmap(compose_fields)(phi1, flow)
         pred = jax.vmap(
             lambda l, f: warp_onehot(l, f, engine_cfg.num_labels)
-        )(lab1, flow)
+        )(raw1, total_field)
         d = dice_loss_zeropad(map2, pred) if use_zeropad else dice_loss(map2, pred)
         g = grad_loss(flow, "l2", cfg.reg_param)
         loss = d + 1.0 + g

@@ -68,8 +68,11 @@ class TestImageEngine:
         assert img.shape == (16, 16, 16)
         assert onehot.shape == (16, 16, 16, 4)
         assert img.min() >= 0.0 and img.max() <= 1.0 + 1e-5
-        # one-hot rows sum to 1
-        np.testing.assert_allclose(onehot.sum(-1), 1.0)
+        # soft one-hot rows sum to 1 (float rounding from the 8-corner weights)
+        np.testing.assert_allclose(onehot.sum(-1), 1.0, atol=1e-5)
+        # boundaries are SOFT (linear interp of the one-hot — the reference
+        # generator contract); some values strictly between 0 and 1 exist
+        assert ((onehot > 0.01) & (onehot < 0.99)).any()
 
     def test_jit_and_vmap(self):
         cfg = synth.ImageEngineConfig(num_labels=3, vel_res=4.0, bias_res=8.0, blur_radius=2)
