@@ -64,6 +64,9 @@ class TrainConfig:
     seed: int = 42
     compute_dtype: str = "bfloat16"
     num_devices: Optional[int] = None  # None = all
+    # global-norm gradient clipping; 0 disables (reference has none, but the
+    # Dice objective can diverge at lr >= 1e-3 — measured)
+    grad_clip_norm: float = 0.0
 
     @classmethod
     def from_json(cls, path: str) -> "TrainConfig":

@@ -133,7 +133,12 @@ class Trainer:
         self.vxm_cfg = vxm_config_from(cfg)
         self.engine_cfg = engine_config_from(cfg)
         self.model = VxmDense(cfg=self.vxm_cfg)
-        self.optimizer = optax.adam(cfg.lr)
+        if cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
+            self.optimizer = optax.chain(
+                optax.clip_by_global_norm(cfg.grad_clip_norm), optax.adam(cfg.lr)
+            )
+        else:
+            self.optimizer = optax.adam(cfg.lr)
 
         self._repl = NamedSharding(self.mesh, P())
         self._batched = NamedSharding(self.mesh, P("data"))
