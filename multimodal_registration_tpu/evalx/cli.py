@@ -14,7 +14,6 @@ import argparse
 import csv
 import datetime
 import os
-import sys
 
 import numpy as np
 

@@ -18,8 +18,6 @@ Parity target: ``register`` of `bids_two_steps_registration.py:274-546`:
 
 from __future__ import annotations
 
-import os
-
 import jax.numpy as jnp
 import numpy as np
 

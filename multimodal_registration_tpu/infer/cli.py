@@ -13,7 +13,6 @@ The reference's ``--one-cpu-tf`` flag (pinning TF to one CPU so
 from __future__ import annotations
 
 import argparse
-import json
 import os
 
 import numpy as np

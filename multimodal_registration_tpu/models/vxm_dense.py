@@ -26,8 +26,7 @@ Weights are spatial-shape-agnostic (pure conv), so the same params apply at any
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field as dc_field
-from typing import Any, Sequence
+from dataclasses import dataclass
 
 import flax.linen as nn
 import jax

@@ -24,10 +24,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Optional
 
-import numpy as np
-
 from multimodal_registration_tpu.evalx.jacobian import folding_summary
-from multimodal_registration_tpu.evalx.nmi import detect_zero_padding, normalized_mutual_information
 from multimodal_registration_tpu.evalx.overlap import overlap_metrics
 from multimodal_registration_tpu.infer.cascade import register_two_steps
 from multimodal_registration_tpu.infer.config import InferenceConfig

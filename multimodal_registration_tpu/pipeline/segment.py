@@ -13,7 +13,6 @@ Parity targets:
 
 from __future__ import annotations
 
-import os
 import shutil
 import subprocess
 

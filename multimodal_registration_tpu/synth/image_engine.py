@@ -26,7 +26,6 @@ host every batch — SURVEY §3.1).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -21,12 +21,8 @@ zero-pad-masked variant when zero-border augmentation is on) plus
 
 from __future__ import annotations
 
-import json
 import os
-import time
-from dataclasses import dataclass
-from functools import partial
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +33,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from multimodal_registration_tpu.losses import dice_loss, dice_loss_zeropad, grad_loss
 from multimodal_registration_tpu.models.vxm_dense import VxmConfig, VxmDense
 from multimodal_registration_tpu.ops.field import compose_fields
-from multimodal_registration_tpu.ops.warp import warp, warp_onehot
+from multimodal_registration_tpu.ops.warp import warp_onehot
 from multimodal_registration_tpu.parallel.mesh import make_mesh
 from multimodal_registration_tpu.synth.augment import maybe_zero_borders, random_flips
 from multimodal_registration_tpu.synth.image_engine import (
