@@ -31,7 +31,7 @@ from multimodal_registration_tpu.train.config import TrainConfig
 from multimodal_registration_tpu.train.trainer import Trainer
 
 
-def main(steps: int = 300, shape=(96, 96, 96), num_labels: int = 8, lr: float = 1e-3):
+def main(steps: int = 300, shape=(96, 96, 96), num_labels: int = 8, lr: float = 1e-4):
     cfg = TrainConfig.from_dict(
         dict(
             in_shape=list(shape),
@@ -41,6 +41,7 @@ def main(steps: int = 300, shape=(96, 96, 96), num_labels: int = 8, lr: float = 
             def_scales=[8, 16],
             batch_size=1,
             lr=lr,
+            grad_clip_norm=1.0,  # the Dice objective diverges at lr>=1e-3
             epochs=1,
             same_subj=True,
         )
