@@ -4,7 +4,7 @@ from multimodal_registration_tpu.ops.field import compose_fields, compose_many
 from multimodal_registration_tpu.ops.grid import identity_grid
 from multimodal_registration_tpu.ops.integrate import integrate_svf
 from multimodal_registration_tpu.ops.resize import rescale_field, resize
-from multimodal_registration_tpu.ops.warp import sample, warp, warp_batch
+from multimodal_registration_tpu.ops.warp import sample, warp, warp_batch, warp_onehot
 
 __all__ = [
     "compose_fields",
@@ -16,4 +16,5 @@ __all__ = [
     "sample",
     "warp",
     "warp_batch",
+    "warp_onehot",
 ]
