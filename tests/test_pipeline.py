@@ -159,3 +159,16 @@ def test_qc_report_content(tmp_path):
     assert "sub-77" in html_text
     assert "dice_after" in html_text
     assert html_text.count("data:image/png;base64") == 3
+
+
+def test_run_batch_two_step(tmp_path):
+    data = _make_bids(tmp_path, subjects=("sub-21",))
+    cfgp = str(tmp_path / "cfg.json")
+    with open(cfgp, "w") as f:
+        json.dump(dict(enc=[4] * 4, dec=[4] * 6, compute_dtype="float32"), f)
+    out = str(tmp_path / "out_ts")
+    results, summary = run_batch(
+        data, out, _weights(tmp_path), model2_path=_weights(tmp_path),
+        config_path=cfgp, fx_contrast="T2w", mov_contrast="T1w",
+    )
+    assert summary["n_ok"] == 1, [r.error for r in results]
