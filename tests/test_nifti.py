@@ -89,3 +89,32 @@ def test_nibabel_cross_validation(tmp_path):
     img = nb.load(str(p))
     np.testing.assert_allclose(np.asarray(img.dataobj), data, atol=1e-6)
     np.testing.assert_allclose(img.affine, affine, atol=1e-4)
+
+
+def test_randomized_roundtrips(tmp_path):
+    """Randomized orientation/dtype round-trip sweep."""
+    rng = np.random.default_rng(42)
+    dtypes = [np.float32, np.float64, np.int16, np.uint8, np.int32, np.uint16]
+    for i in range(12):
+        ndim = rng.choice([3, 4])
+        shape = tuple(rng.integers(2, 7, size=ndim))
+        dt = dtypes[i % len(dtypes)]
+        if np.issubdtype(dt, np.integer):
+            data = rng.integers(0, 100, size=shape).astype(dt)
+        else:
+            data = rng.normal(size=shape).astype(dt)
+        # random axis-permuted, sign-flipped, scaled affine + offset
+        perm = rng.permutation(3)
+        signs = rng.choice([-1.0, 1.0], size=3)
+        zooms = rng.uniform(0.5, 3.0, size=3)
+        R = np.zeros((3, 3))
+        for a in range(3):
+            R[perm[a], a] = signs[a] * zooms[a]
+        aff = np.eye(4)
+        aff[:3, :3] = R
+        aff[:3, 3] = rng.uniform(-50, 50, size=3)
+        p = str(tmp_path / f"r{i}.nii.gz")
+        nifti.save(nifti.NiftiImage(data, aff), p)
+        back = nifti.load(p)
+        np.testing.assert_array_equal(np.asarray(back.dataobj), data)
+        np.testing.assert_allclose(back.affine, aff, atol=1e-4)
