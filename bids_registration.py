@@ -1,7 +1,13 @@
 #!/usr/bin/env python
 """BIDS single-model registration CLI (reference parity: `bids_registration.py`)."""
 
-from multimodal_registration_tpu.infer.cli import bids_registration
-
 if __name__ == "__main__":
+    # one-cpu pinning must precede the inference import chain (which touches
+    # jax) so XLA_FLAGS is set before any backend client exists.
+    from multimodal_registration_tpu.onecpu import apply_one_cpu_env
+
+    apply_one_cpu_env()
+
+    from multimodal_registration_tpu.infer.cli import bids_registration
+
     bids_registration()

@@ -10,6 +10,14 @@ evaluation (Dice/NMI/Jacobian), BIDS batch pipelines — is provided natively.
 Reference parity notes are cited as ``file:line`` against /root/reference.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-from multimodal_registration_tpu import ops  # noqa: F401
+
+def __getattr__(name):
+    # Lazy `ops` so that importing jax-free helpers (e.g. ``onecpu``, which
+    # must run BEFORE any jax backend initialization) doesn't pull in jax.
+    if name == "ops":
+        import importlib
+
+        return importlib.import_module("multimodal_registration_tpu.ops")
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

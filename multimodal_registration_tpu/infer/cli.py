@@ -17,6 +17,7 @@ import os
 
 import numpy as np
 
+from multimodal_registration_tpu.onecpu import apply_one_cpu_env
 from multimodal_registration_tpu.utils.jaxcache import enable_persistent_cache
 
 enable_persistent_cache()
@@ -33,11 +34,13 @@ def _bool_flag(s: str) -> bool:
 
 
 def _maybe_one_cpu(flag: str):
+    """Best-effort one-cpu pinning for console-script entry points.
+
+    The root shims (``3d_reg.py`` etc.) apply this BEFORE importing this
+    module; here it still lands before the first backend client is created
+    (XLA reads XLA_FLAGS at client creation, not at ``import jax``)."""
     if _bool_flag(flag):
-        os.environ.setdefault("XLA_FLAGS", "")
-        if "intra_op_parallelism" not in os.environ["XLA_FLAGS"]:
-            os.environ["XLA_FLAGS"] += " --xla_cpu_multi_thread_eigen=false"
-        os.environ.setdefault("OMP_NUM_THREADS", "1")
+        apply_one_cpu_env(["--one-cpu-tf", "True"])
 
 
 def pair_registration(argv=None):

@@ -8,12 +8,26 @@ Semantics parity with ``vxm.layers.SpatialTransformer`` / ``vxm.utils.transform`
   * ``linear`` = trilinear over the 8 surrounding voxels,
   * ``nearest`` = round-half-to-even then gather.
 
-The default implementation lowers to an XLA gather. A Pallas VMEM-blocked kernel
-for the common "small displacement" case lives in ``ops.pallas.warp3d`` and is
-dispatched automatically on TPU for suitable shapes.
+Implementations (selected automatically; override with ``MMREG_WARP_MODE``):
+
+  * ``packed`` (TPU default): the measured bottleneck on this backend is the
+    gather's *index-row rate* (~0.15 G rows/s; payload width barely matters —
+    PERF.md "What was tried"). So we pre-pack every 2x2x2xC corner
+    neighborhood into one contiguous row via 8 edge-padded shifted copies
+    (pure memory-bound writes), then issue ONE gather of N rows instead of 8
+    gathers (8N rows). The autodiff transpose inherits the same 8x row
+    reduction (one packed scatter-add instead of 8 scatters), which is the
+    dominant cost of the scaling-and-squaring backward.
+  * ``blockgather`` (CPU default): one ``lax.gather`` of 2x2x2xC blocks —
+    compact on CPU, but on TPU the block output's minor dims are layout-padded
+    to (8,128) tiles (~20x expansion, OOMs at 192^3; measured).
+  * ``gather8``: the plain 8-corner flat-gather formulation (reference
+    semantics baseline; kept for equivalence tests and as a fallback).
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -26,12 +40,158 @@ def _gather_volume(vol_flat, ix, iy, iz, Y, Z):
     return jnp.take(vol_flat, lin.reshape(-1), axis=0).reshape(*lin.shape, vol_flat.shape[-1])
 
 
+def _warp_mode() -> str:
+    mode = os.environ.get("MMREG_WARP_MODE", "auto")
+    if mode != "auto":
+        return mode
+    return "blockgather" if jax.default_backend() == "cpu" else "packed"
+
+
+def pack_corners(vol: jnp.ndarray) -> jnp.ndarray:
+    """Pack the 2x2x2 corner neighborhood of every voxel into one row.
+
+    ``out[x*Y*Z + y*Z + z, (dx*4 + dy*2 + dz)*C + c] = vol[min(x+dx, X-1),
+    min(y+dy, Y-1), min(z+dz, Z-1), c]`` — edge padding reproduces the
+    clamped ``i1 = min(i0+1, dim-1)`` corner of the reference transformer.
+
+    Built from 8 shifted whole-volume copies: pure sequential HBM traffic
+    (8x vol bytes), no random access.
+    """
+    X, Y, Z, C = vol.shape
+    vp = jnp.pad(vol, ((0, 1), (0, 1), (0, 1), (0, 0)), mode="edge")
+    corners = [
+        vp[dx:dx + X, dy:dy + Y, dz:dz + Z]
+        for dx in (0, 1)
+        for dy in (0, 1)
+        for dz in (0, 1)
+    ]
+    return jnp.concatenate(corners, axis=-1).reshape(X * Y * Z, 8 * C)
+
+
+def _corner_weights(w):
+    """(..., 3) fractional offsets -> (..., 8) trilinear corner weights.
+
+    Corner order matches :func:`pack_corners` (dx major, dz minor).
+    """
+    wx = jnp.stack([1.0 - w[..., 0], w[..., 0]], -1)
+    wy = jnp.stack([1.0 - w[..., 1], w[..., 1]], -1)
+    wz = jnp.stack([1.0 - w[..., 2], w[..., 2]], -1)
+    w8 = wx[..., :, None, None] * wy[..., None, :, None] * wz[..., None, None, :]
+    return w8.reshape(*w.shape[:-1], 8)
+
+
+def _floor_base(c, X, Y, Z):
+    """Floor corner index + fractional weight for pre-clipped coords."""
+    i0 = jnp.floor(c).astype(jnp.int32)  # in [0, dim-1] since c is clipped
+    w = (c - i0.astype(c.dtype)).astype(jnp.float32)
+    lin = (i0[..., 0] * Y + i0[..., 1]) * Z + i0[..., 2]
+    return lin, w
+
+
+def _take_rows(packed_2d: jnp.ndarray, lin: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows of a (V, W) array.
+
+    Measured on this backend (warp_bench): a plain row ``jnp.take`` runs at
+    the element rate of the narrow-row formulation (so 8x fewer rows is
+    neutral at huge sources) but ~4.5x faster when the source is small
+    (<~100 MB) — and a 1-D flattened source with ``slice_sizes=(W,)`` is
+    catastrophically slow (12 s vs 0.36 s at 192^3; slice-gathers on 1-D
+    operands hit a serial path). Keep the 2-D row take.
+    """
+    return jnp.take(packed_2d, lin.reshape(-1), axis=0)
+
+
+def _sample_linear_packed(vol, c):
+    """Trilinear sampling via ONE row-gather of pre-packed corner blocks."""
+    X, Y, Z, C = vol.shape
+    batch_shape = c.shape[:-1]
+    lin, w = _floor_base(c, X, Y, Z)
+    packed = pack_corners(vol)
+    rows = _take_rows(packed, lin)  # (N, 8C)
+    blocks = rows.reshape(*batch_shape, 8, C).astype(jnp.float32)
+    w8 = _corner_weights(w)
+    out = jnp.einsum(
+        "...kc,...k->...c", blocks, w8, precision=jax.lax.Precision.HIGHEST
+    )
+    return out.astype(vol.dtype)
+
+
+# ---- chunked packed warp (the fast path for big volumes) --------------------
+#
+# Measured on this backend (benchmarks/gather_probe.py): gather row rate is
+# ~110 M rows/s while the source is < ~100 MB and collapses ~6x above
+# ~200 MB (a fast staging tier). So for sources over budget we slab the
+# packed corner volume along X (slab = output chunk + displacement halo H)
+# and gather within each slab under lax.map: 369 ms → 74 ms at 192^3 x 3ch
+# (benchmarks/warp_chunked_proto.py). A runtime guard max|flow_x| <= H-1
+# falls back to the unchunked gather via lax.cond when the halo is exceeded.
+
+def _gather_budget() -> int:
+    return int(os.environ.get("MMREG_GATHER_SRC_BUDGET", 80_000_000))
+
+
+def _chunk_plan(X: int, Y: int, Z: int, C: int, itemsize: int):
+    """Pick (halo H, n_chunks, slab planes S) or None if chunking is moot."""
+    budget = _gather_budget()
+    plane = Y * Z * 8 * C * itemsize
+    if X * plane <= budget:
+        return None  # whole packed source already under the cliff
+    for H in (16, 8, 4):
+        for n in range(2, X + 1):
+            if X % n:
+                continue
+            S = X // n + 2 * H
+            if S >= X:
+                continue
+            if S * plane <= budget:
+                return H, n, S
+    return None
+
+
+def _warp_linear_packed_chunked(vol, c, flow_x, H, n_chunks, S):
+    """Chunked packed trilinear warp; falls back when |flow_x| > H-1."""
+    X, Y, Z, C = vol.shape
+    CX = X // n_chunks
+    packed4 = pack_corners(vol).reshape(X, Y, Z, 8 * C)
+    lin, w = _floor_base(c, X, Y, Z)
+    i0x = jnp.floor(c[..., 0]).astype(jnp.int32)
+    w8 = _corner_weights(w)  # (X, Y, Z, 8)
+    hi_p = jax.lax.Precision.HIGHEST
+
+    def chunked(_):
+        def chunk_fn(k):
+            x0 = k * CX
+            s = jnp.clip(x0 - H, 0, X - S)
+            slab = jax.lax.dynamic_slice(packed4, (s, 0, 0, 0), (S, Y, Z, 8 * C))
+            ix = jax.lax.dynamic_slice(i0x, (x0, 0, 0), (CX, Y, Z))
+            iyz = jax.lax.dynamic_slice(
+                lin, (x0, 0, 0), (CX, Y, Z)
+            ) - ix * (Y * Z)  # lin = (ix*Y + iy)*Z + iz → iy*Z + iz remainder
+            ixr = jnp.clip(ix - s, 0, S - 1)
+            lin_s = ixr * (Y * Z) + iyz
+            rows = jnp.take(slab.reshape(S * Y * Z, 8 * C), lin_s.reshape(-1), axis=0)
+            blocks = rows.reshape(CX, Y, Z, 8, C).astype(jnp.float32)
+            w8c = jax.lax.dynamic_slice(w8, (x0, 0, 0, 0), (CX, Y, Z, 8))
+            return jnp.einsum("...kc,...k->...c", blocks, w8c, precision=hi_p)
+
+        out = jax.lax.map(chunk_fn, jnp.arange(n_chunks))
+        return out.reshape(X, Y, Z, C)
+
+    def fallback(_):
+        rows = _take_rows(packed4.reshape(X * Y * Z, 8 * C), lin)
+        blocks = rows.reshape(X, Y, Z, 8, C).astype(jnp.float32)
+        return jnp.einsum("...kc,...k->...c", blocks, w8, precision=hi_p)
+
+    in_halo = jnp.max(jnp.abs(flow_x)) <= float(H - 1)
+    return jax.lax.cond(in_halo, chunked, fallback, 0).astype(vol.dtype)
+
+
 def _sample_linear_blockgather(vol, c):
-    """Trilinear sampling with ONE ``lax.gather`` of 2×2×2×C corner blocks.
+    """Trilinear sampling with ONE ``lax.gather`` of 2x2x2xC corner blocks.
 
     NOTE: NOT used on TPU — XLA pads the gather output's minor dims
-    ((…,2,2,C) → (…,8,128) tiles), a ~20× memory expansion that OOMs at
-    192³ (measured). Kept for CPU where it is compact and fast.
+    ((…,2,2,C) → (…,8,128) tiles), a ~20x memory expansion that OOMs at
+    192^3 (measured). Kept for CPU where it is compact and fast.
     Requires every spatial dim >= 2.
     """
     X, Y, Z, C = vol.shape
@@ -61,6 +221,30 @@ def _sample_linear_blockgather(vol, c):
     ).astype(vol.dtype)
 
 
+def _sample_linear_gather8(vol, c):
+    """Plain 8-corner flat-gather trilinear sampling (fallback/baseline)."""
+    X, Y, Z, C = vol.shape
+    vol_flat = vol.reshape(-1, C)
+    c0 = jnp.floor(c)
+    w1 = c - c0
+    i0 = c0.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, jnp.array([X - 1, Y - 1, Z - 1], jnp.int32))
+    out = None
+    for dx in (0, 1):
+        wx = w1[..., 0] if dx else 1.0 - w1[..., 0]
+        ix = i1[..., 0] if dx else i0[..., 0]
+        for dy in (0, 1):
+            wy = w1[..., 1] if dy else 1.0 - w1[..., 1]
+            iy = i1[..., 1] if dy else i0[..., 1]
+            for dz in (0, 1):
+                wz = w1[..., 2] if dz else 1.0 - w1[..., 2]
+                iz = i1[..., 2] if dz else i0[..., 2]
+                corner = _gather_volume(vol_flat, ix, iy, iz, Y, Z)
+                w = (wx * wy * wz)[..., None].astype(vol.dtype)
+                out = corner * w if out is None else out + corner * w
+    return out
+
+
 def sample(vol: jnp.ndarray, coords: jnp.ndarray, interp: str = "linear") -> jnp.ndarray:
     """Sample ``vol`` at float voxel ``coords``.
 
@@ -84,27 +268,14 @@ def sample(vol: jnp.ndarray, coords: jnp.ndarray, interp: str = "linear") -> jnp
     if interp == "nearest":
         idx = jnp.round(c).astype(jnp.int32)
         out = _gather_volume(vol.reshape(-1, C), idx[..., 0], idx[..., 1], idx[..., 2], Y, Z)
-    elif min(X, Y, Z) >= 2 and jax.default_backend() == "cpu":
-        out = _sample_linear_blockgather(vol, c)
-    else:  # TPU path: 8 flat gathers (see blockgather note above)
-        vol_flat = vol.reshape(-1, C)
-        c0 = jnp.floor(c)
-        w1 = c - c0
-        i0 = c0.astype(jnp.int32)
-        i1 = jnp.minimum(i0 + 1, jnp.array([X - 1, Y - 1, Z - 1], jnp.int32))
-        out = None
-        for dx in (0, 1):
-            wx = w1[..., 0] if dx else 1.0 - w1[..., 0]
-            ix = i1[..., 0] if dx else i0[..., 0]
-            for dy in (0, 1):
-                wy = w1[..., 1] if dy else 1.0 - w1[..., 1]
-                iy = i1[..., 1] if dy else i0[..., 1]
-                for dz in (0, 1):
-                    wz = w1[..., 2] if dz else 1.0 - w1[..., 2]
-                    iz = i1[..., 2] if dz else i0[..., 2]
-                    corner = _gather_volume(vol_flat, ix, iy, iz, Y, Z)
-                    w = (wx * wy * wz)[..., None].astype(vol.dtype)
-                    out = corner * w if out is None else out + corner * w
+    else:
+        mode = _warp_mode()
+        if mode == "blockgather" and min(X, Y, Z) >= 2:
+            out = _sample_linear_blockgather(vol, c)
+        elif mode == "gather8":
+            out = _sample_linear_gather8(vol, c)
+        else:
+            out = _sample_linear_packed(vol, c)
     return out[..., 0] if squeeze else out
 
 
@@ -115,7 +286,19 @@ def warp(vol: jnp.ndarray, flow: jnp.ndarray, interp: str = "linear") -> jnp.nda
     contract of ``vxm.utils.transform`` (`train_synthmorph.py:67`).
     """
     grid = identity_grid(flow.shape[:-1], dtype=jnp.float32)
-    return sample(vol, grid + flow.astype(jnp.float32), interp=interp)
+    coords = grid + flow.astype(jnp.float32)
+    if interp == "linear" and _warp_mode() == "packed":
+        squeeze = vol.ndim == 3
+        v4 = vol[..., None] if squeeze else vol
+        X, Y, Z, C = v4.shape
+        if (X, Y, Z) == tuple(flow.shape[:-1]):
+            plan = _chunk_plan(X, Y, Z, C, jnp.dtype(v4.dtype).itemsize)
+            if plan is not None:
+                dims = jnp.array([X - 1, Y - 1, Z - 1], jnp.float32)
+                c = jnp.clip(coords, 0.0, dims)
+                out = _warp_linear_packed_chunked(v4, c, flow[..., 0], *plan)
+                return out[..., 0] if squeeze else out
+    return sample(vol, coords, interp=interp)
 
 
 def warp_batch(vol, flow, interp="linear"):
@@ -128,10 +311,12 @@ def warp_onehot(labels: jnp.ndarray, flow: jnp.ndarray, num_classes: int) -> jnp
 
     Identity used: linear interpolation of a one-hot field equals the
     corner-weighted sum of the one-hots of the 8 gathered INTEGER labels —
-    so only 1 channel is gathered instead of ``num_classes`` (26× less gather
+    so only 1 channel is gathered instead of ``num_classes`` (26x less gather
     traffic for the SynthMorph training loss, `train_synthmorph.py:298`).
-    Gradients w.r.t. ``flow`` flow through the interpolation weights exactly
-    as in the dense formulation (the one-hot corner values are constants).
+    The 8 corner labels are packed into one row (see :func:`pack_corners`)
+    so a single N-row gather replaces 8. Gradients w.r.t. ``flow`` go through
+    the interpolation weights exactly as in the dense formulation (the
+    one-hot corner values are constants).
 
     Args: ``labels (X,Y,Z)`` int, ``flow (X,Y,Z,3)`` → ``(X,Y,Z,L)`` float32.
     """
@@ -139,23 +324,17 @@ def warp_onehot(labels: jnp.ndarray, flow: jnp.ndarray, num_classes: int) -> jnp
     grid = identity_grid((X, Y, Z), dtype=jnp.float32)
     c = jnp.clip(grid + flow.astype(jnp.float32), 0.0,
                  jnp.array([X - 1, Y - 1, Z - 1], jnp.float32))
-    c0 = jnp.floor(c)
-    w1 = c - c0
-    i0 = c0.astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, jnp.array([X - 1, Y - 1, Z - 1], jnp.int32))
-    lab_flat = labels.reshape(-1)
-    out = jnp.zeros((X, Y, Z, num_classes), jnp.float32)
-    for dx in (0, 1):
-        wx = w1[..., 0] if dx else 1.0 - w1[..., 0]
-        ix = (i1 if dx else i0)[..., 0]
-        for dy in (0, 1):
-            wy = w1[..., 1] if dy else 1.0 - w1[..., 1]
-            iy = (i1 if dy else i0)[..., 1]
-            for dz in (0, 1):
-                wz = w1[..., 2] if dz else 1.0 - w1[..., 2]
-                iz = (i1 if dz else i0)[..., 2]
-                lin = (ix * Y + iy) * Z + iz
-                corner_lab = jnp.take(lab_flat, lin.reshape(-1), axis=0).reshape(X, Y, Z)
-                w = (wx * wy * wz)[..., None]
-                out = out + w * jax.nn.one_hot(corner_lab, num_classes, dtype=jnp.float32)
-    return out
+    lin, w = _floor_base(c, X, Y, Z)
+    # int8 pack when labels fit: keeps the gather source (V, 8) under the
+    # ~100 MB fast-staging budget at training shapes (gather_probe.py)
+    pack_dtype = jnp.int8 if num_classes <= 127 else jnp.int32
+    lp = jnp.pad(labels.astype(pack_dtype), ((0, 1), (0, 1), (0, 1)), mode="edge")
+    packed = jnp.stack(
+        [lp[dx:dx + X, dy:dy + Y, dz:dz + Z]
+         for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+        axis=-1,
+    ).reshape(X * Y * Z, 8)
+    rows = _take_rows(packed, lin).reshape(X, Y, Z, 8).astype(jnp.int32)
+    w8 = _corner_weights(w)  # (X, Y, Z, 8)
+    onehot = jax.nn.one_hot(rows, num_classes, dtype=jnp.float32)  # (X,Y,Z,8,L)
+    return jnp.einsum("...kl,...k->...l", onehot, w8)

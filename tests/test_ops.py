@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 import scipy.ndimage as ndi
 
+import jax
 import jax.numpy as jnp
 
 from multimodal_registration_tpu import ops
@@ -186,3 +187,152 @@ class TestResizeFastPaths:
         np.testing.assert_allclose(
             out[1, 0, 0], (flow[0, 0, 0] + flow[1, 0, 0]) * 0.5 * 2.0, atol=1e-6
         )
+
+
+class TestWarpModeEquivalence:
+    """The three linear-sampling implementations must agree in value AND
+    gradient — the packed path is the TPU production path, gather8 the
+    reference-semantics baseline, blockgather the CPU path."""
+
+    def _rand(self, shape=(7, 6, 5), C=3, seed=0):
+        rng = np.random.RandomState(seed)
+        vol = rng.rand(*shape, C).astype(np.float32)
+        flow = (rng.rand(*shape, 3).astype(np.float32) - 0.5) * 4.0
+        return jnp.asarray(vol), jnp.asarray(flow)
+
+    def _mode(self, mode, fn, *args):
+        import os
+        old = os.environ.get("MMREG_WARP_MODE")
+        os.environ["MMREG_WARP_MODE"] = mode
+        try:
+            return fn(*args)
+        finally:
+            if old is None:
+                del os.environ["MMREG_WARP_MODE"]
+            else:
+                os.environ["MMREG_WARP_MODE"] = old
+
+    def test_value_equivalence(self):
+        vol, flow = self._rand()
+        outs = {
+            m: np.asarray(self._mode(m, ops.warp, vol, flow))
+            for m in ("packed", "gather8", "blockgather")
+        }
+        np.testing.assert_allclose(outs["packed"], outs["gather8"], atol=1e-5)
+        np.testing.assert_allclose(outs["packed"], outs["blockgather"], atol=1e-5)
+
+    def test_gradient_equivalence(self):
+        # d/dflow and d/dvol of a scalar readout must match across modes
+        # (VERDICT round-1 item 2: gradient equivalence vs the autodiff
+        # adjoint of the plain gather formulation).
+        vol, flow = self._rand(shape=(6, 5, 7), C=2, seed=1)
+        w = np.random.RandomState(2).rand(6, 5, 7, 2).astype(np.float32)
+
+        def loss(v, f):
+            return jnp.sum(ops.warp(v, f) * jnp.asarray(w))
+
+        grads = {
+            m: self._mode(m, jax.grad(loss, argnums=(0, 1)), vol, flow)
+            for m in ("packed", "gather8")
+        }
+        np.testing.assert_allclose(
+            np.asarray(grads["packed"][0]), np.asarray(grads["gather8"][0]), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(grads["packed"][1]), np.asarray(grads["gather8"][1]), atol=1e-4
+        )
+
+    def test_exact_on_grid_coords(self):
+        # integer flows must reproduce exact voxel values in packed mode
+        vol, _ = self._rand(shape=(5, 5, 5), C=1, seed=3)
+        flow = np.zeros((5, 5, 5, 3), np.float32)
+        flow[..., 2] = 2.0
+        out = np.asarray(self._mode("packed", ops.warp, vol, jnp.asarray(flow)))
+        np.testing.assert_allclose(out[:, :, :3], np.asarray(vol)[:, :, 2:], atol=1e-6)
+
+
+class TestChunkedWarp:
+    """The chunked packed gather (TPU fast path) must agree with gather8 in
+    value and gradient, including when the displacement exceeds the halo
+    (lax.cond fallback)."""
+
+    def _with_env(self, fn, budget="130000"):
+        import os
+        old = {k: os.environ.get(k) for k in ("MMREG_WARP_MODE", "MMREG_GATHER_SRC_BUDGET")}
+        os.environ["MMREG_WARP_MODE"] = "packed"
+        os.environ["MMREG_GATHER_SRC_BUDGET"] = budget
+        try:
+            return fn()
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    def test_plan_is_active_at_tiny_budget(self):
+        from multimodal_registration_tpu.ops.warp import _chunk_plan
+        plan = self._with_env(lambda: _chunk_plan(32, 12, 10, 2, 4))
+        assert plan is not None
+        H, n, S = plan
+        assert 32 % n == 0 and S == 32 // n + 2 * H and S < 32
+        # the slab respects the byte budget
+        assert S * 12 * 10 * 8 * 2 * 4 <= 130000
+
+    def test_chunked_matches_gather8(self):
+        rng = np.random.RandomState(0)
+        vol = jnp.asarray(rng.rand(32, 12, 10, 2).astype(np.float32))
+        flow = (rng.rand(32, 12, 10, 3).astype(np.float32) - 0.5) * 5.0
+        flow[..., 0] *= 0.5  # keep |flow_x| <= halo-1 so the CHUNKED branch runs
+        flow = jnp.asarray(flow)
+        got = self._with_env(lambda: np.asarray(ops.warp(vol, flow)))
+        import os
+        os.environ["MMREG_WARP_MODE"] = "gather8"
+        try:
+            ref = np.asarray(ops.warp(vol, flow))
+        finally:
+            del os.environ["MMREG_WARP_MODE"]
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_halo_exceeded_falls_back_correctly(self):
+        rng = np.random.RandomState(1)
+        vol = jnp.asarray(rng.rand(32, 12, 10, 1).astype(np.float32))
+        flow = np.zeros((32, 12, 10, 3), np.float32)
+        flow[..., 0] = 40.0  # way past any halo → cond fallback
+        flow = jnp.asarray(flow)
+        got = self._with_env(lambda: np.asarray(ops.warp(vol, flow)))
+        import os
+        os.environ["MMREG_WARP_MODE"] = "gather8"
+        try:
+            ref = np.asarray(ops.warp(vol, flow))
+        finally:
+            del os.environ["MMREG_WARP_MODE"]
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_chunked_gradients_match(self):
+        rng = np.random.RandomState(2)
+        vol = jnp.asarray(rng.rand(32, 12, 10, 2).astype(np.float32))
+        flow = (rng.rand(32, 12, 10, 3).astype(np.float32) - 0.5) * 4.0
+        flow[..., 0] *= 0.6  # chunked branch active (|flow_x| inside halo)
+        flow = jnp.asarray(flow)
+        w = jnp.asarray(rng.rand(32, 12, 10, 2).astype(np.float32))
+
+        def loss(v, f):
+            return jnp.sum(ops.warp(v, f) * w)
+
+        gv_c, gf_c = self._with_env(lambda: jax.grad(loss, argnums=(0, 1))(vol, flow))
+        import os
+        os.environ["MMREG_WARP_MODE"] = "gather8"
+        try:
+            gv_r, gf_r = jax.grad(loss, argnums=(0, 1))(vol, flow)
+        finally:
+            del os.environ["MMREG_WARP_MODE"]
+        np.testing.assert_allclose(np.asarray(gv_c), np.asarray(gv_r), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_r), atol=1e-4)
+
+    def test_chunked_3d_vol_squeeze(self):
+        rng = np.random.RandomState(3)
+        vol = jnp.asarray(rng.rand(32, 12, 10).astype(np.float32))
+        flow = jnp.asarray((rng.rand(32, 12, 10, 3).astype(np.float32) - 0.5) * 3.0)
+        got = self._with_env(lambda: np.asarray(ops.warp(vol, flow)))
+        assert got.shape == (32, 12, 10)

@@ -87,3 +87,33 @@ def test_dp_sharding_over_virtual_mesh(tmp_path):
     cfg = tiny_cfg(tmp_path, epochs=1, batch_size=8, num_maps=8)
     out = run_training(cfg)
     assert np.isfinite(out["history"][0]["loss"])
+
+
+def test_dp_step_equals_single_device_step(tmp_path):
+    """Equality theorem (VERDICT round-1 item 4): one data-parallel train step
+    over the 8-device mesh must produce the SAME loss and params as the same
+    step on 1 device — a sharding bug that scrambles batch elements or
+    mis-reduces gradients fails this, not just non-finiteness."""
+    assert len(jax.devices()) == 8
+    cfg = tiny_cfg(tmp_path, epochs=1, batch_size=8, num_maps=8)
+    rng = np.random.default_rng(0)
+    maps = rng.integers(0, cfg.num_labels, size=(8, 16, 16, 16), dtype=np.uint8)
+    key = jax.random.PRNGKey(123)
+
+    results = {}
+    for n_dev in (1, 8):
+        cfg_n = tiny_cfg(tmp_path, epochs=1, batch_size=8, num_maps=8,
+                         num_devices=n_dev)
+        trainer = Trainer(cfg_n)
+        assert trainer.mesh.shape["data"] * trainer.mesh.shape.get("space", 1) == n_dev
+        params, opt_state = trainer.init_state(seed=7)
+        src, trg = trainer.put_batch(maps.copy(), maps.copy())
+        params, opt_state, aux = trainer.train_step(params, opt_state, key, src, trg)
+        results[n_dev] = (jax.device_get(params), float(aux["loss"]))
+
+    np.testing.assert_allclose(results[1][1], results[8][1], rtol=1e-5, atol=1e-6)
+    flat1 = jax.tree_util.tree_leaves(results[1][0])
+    flat8 = jax.tree_util.tree_leaves(results[8][0])
+    assert len(flat1) == len(flat8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-5)
