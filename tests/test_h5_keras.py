@@ -1,0 +1,174 @@
+"""Pretrained-h5 import validated against a GENUINE Keras-written file.
+
+VERDICT round-1 item 3: `models/h5_import.py` had only been tested against
+our own `h5_export.py` round-trip. Here we build the reference VxmDense
+U-Net topology in tf_keras (the Keras-2 legacy implementation whose
+`save_weights(...h5)` produces the same `layer_names`/`weight_names` layout
+as the published VoxelMorph models, `bids_registration.py:439`), save a real
+`.h5`, import it, and assert forward parity between the TF model and our
+Flax model — plus full-forward parity against an independent numpy/scipy
+scaling-and-squaring chain.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+tf_keras = pytest.importorskip("tf_keras")
+
+from multimodal_registration_tpu.models.h5_import import import_keras_vxm_h5
+from multimodal_registration_tpu.models.vxm_dense import (
+    VxmConfig,
+    VxmDense,
+    params_template,
+)
+
+
+def build_keras_vxm_unet(inshape, enc, dec, svf_res):
+    """The VxmDense U-Net + flow head in Keras layers (reference topology:
+    conv3x3 + LeakyReLU(0.2) per level, 2x maxpool / 2x nearest upsample,
+    [upsampled, skip] concat order, extra convs at final resolution,
+    flow head with N(0, 1e-5) kernel init)."""
+    import math
+
+    L = tf_keras.layers
+    nb_levels = len(enc) + 1
+    nb_upsample_skips = int(math.floor(math.log2(svf_res))) if svf_res > 1 else 0
+
+    mov = tf_keras.Input((*inshape, 1), name="moving")
+    fx = tf_keras.Input((*inshape, 1), name="fixed")
+    x = L.Concatenate(axis=-1)([mov, fx])
+
+    skips = []
+    for i, f in enumerate(enc):
+        x = L.Conv3D(f, 3, padding="same", name=f"enc_conv_{i}")(x)
+        x = L.LeakyReLU(0.2)(x)
+        skips.append(x)
+        x = L.MaxPooling3D(2)(x)
+
+    for i, f in enumerate(dec[: nb_levels - 1]):
+        x = L.Conv3D(f, 3, padding="same", name=f"dec_conv_{i}")(x)
+        x = L.LeakyReLU(0.2)(x)
+        if i < (nb_levels - 1 - nb_upsample_skips):
+            x = L.UpSampling3D(2)(x)
+            x = L.Concatenate(axis=-1)([x, skips.pop()])
+
+    for j, f in enumerate(dec[nb_levels - 1:]):
+        x = L.Conv3D(f, 3, padding="same", name=f"final_conv_{j}")(x)
+        x = L.LeakyReLU(0.2)(x)
+
+    svf = L.Conv3D(
+        3, 3, padding="same", name="flow",
+        kernel_initializer=tf_keras.initializers.RandomNormal(stddev=1e-5),
+    )(x)
+    return tf_keras.Model([mov, fx], svf)
+
+
+def _np_warp(vol, flow):
+    """Independent trilinear warp (scipy, edge clamp)."""
+    import scipy.ndimage as ndi
+
+    X, Y, Z = flow.shape[:3]
+    grid = np.stack(
+        np.meshgrid(np.arange(X), np.arange(Y), np.arange(Z), indexing="ij"), -1
+    ).astype(np.float64)
+    c = np.clip(grid + flow, 0, np.array([X - 1, Y - 1, Z - 1], np.float64))
+    coords = [c[..., i] for i in range(3)]
+    if vol.ndim == 4:
+        return np.stack(
+            [ndi.map_coordinates(vol[..., ch], coords, order=1, mode="nearest")
+             for ch in range(vol.shape[-1])], -1)
+    return ndi.map_coordinates(vol, coords, order=1, mode="nearest")
+
+
+ENC, DEC = (8, 8, 8, 8), (8, 8, 8, 8, 8, 8)
+
+
+@pytest.fixture(scope="module")
+def keras_h5(tmp_path_factory):
+    """A genuine tf_keras-written legacy .h5 (random weights, svf_res=2)."""
+    inshape = (16, 16, 16)
+    km = build_keras_vxm_unet(inshape, ENC, DEC, svf_res=2)
+    # perturb the flow head so outputs aren't ~0
+    w, b = km.get_layer("flow").get_weights()
+    rng = np.random.default_rng(0)
+    km.get_layer("flow").set_weights(
+        [rng.normal(0, 0.02, w.shape).astype(np.float32),
+         rng.normal(0, 0.01, b.shape).astype(np.float32)]
+    )
+    path = str(tmp_path_factory.mktemp("h5") / "vxm_dense.h5")
+    km.save_weights(path)  # legacy layer_names/weight_names layout
+    return km, path, inshape
+
+
+def test_h5_is_legacy_layout(keras_h5):
+    import h5py
+
+    _, path, _ = keras_h5
+    with h5py.File(path) as f:
+        assert "layer_names" in f.attrs, "expected the legacy Keras h5 layout"
+        names = [n.decode() if isinstance(n, bytes) else str(n)
+                 for n in f.attrs["layer_names"]]
+        # non-conv layers present in layer_names — the importer must skip them
+        assert any("max_pooling" in n or "concatenate" in n for n in names)
+
+
+def test_import_real_keras_h5_svf_parity(keras_h5):
+    km, path, inshape = keras_h5
+    cfg = VxmConfig(enc=ENC, dec=DEC, int_steps=5, int_res=2, svf_res=2,
+                    compute_dtype="float32", integrate_payload_dtype="")
+    params = import_keras_vxm_h5(path, params_template(cfg), cfg)
+
+    rng = np.random.default_rng(1)
+    mov = rng.random((1, *inshape, 1), np.float32)
+    fx = rng.random((1, *inshape, 1), np.float32)
+
+    svf_tf = np.asarray(km([mov, fx]))
+    out = VxmDense(cfg=cfg).apply(params, mov, fx)
+    np.testing.assert_allclose(np.asarray(out["svf"]), svf_tf, atol=1e-4, rtol=1e-4)
+
+
+def test_import_real_keras_h5_full_forward_vs_numpy(tmp_path):
+    """Full chain at svf_res=int_res=1: Keras conv stack → numpy/scipy
+    scaling-and-squaring + warp must match our model's `moved` output."""
+    inshape = (16, 16, 16)
+    km = build_keras_vxm_unet(inshape, ENC, DEC, svf_res=1)
+    w, b = km.get_layer("flow").get_weights()
+    rng = np.random.default_rng(2)
+    km.get_layer("flow").set_weights(
+        [rng.normal(0, 0.05, w.shape).astype(np.float32),
+         rng.normal(0, 0.02, b.shape).astype(np.float32)]
+    )
+    path = str(tmp_path / "vxm_fullres.h5")
+    km.save_weights(path)
+
+    cfg = VxmConfig(enc=ENC, dec=DEC, int_steps=5, int_res=1, svf_res=1,
+                    compute_dtype="float32", integrate_payload_dtype="")
+    params = import_keras_vxm_h5(path, params_template(cfg), cfg)
+
+    mov = rng.random((1, *inshape, 1), np.float32)
+    fx = rng.random((1, *inshape, 1), np.float32)
+    out = VxmDense(cfg=cfg).apply(params, mov, fx)
+
+    svf_tf = np.asarray(km([mov, fx]))[0].astype(np.float64)
+    phi = svf_tf / 2.0**5
+    for _ in range(5):
+        phi = phi + _np_warp(phi, phi)
+    moved_np = _np_warp(mov[0, ..., 0].astype(np.float64), phi)
+
+    np.testing.assert_allclose(
+        np.asarray(out["warp"])[0], phi, atol=1e-3, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["moved"])[0, ..., 0], moved_np, atol=1e-3
+    )
+
+
+def test_import_rejects_wrong_architecture(keras_h5):
+    _, path, _ = keras_h5
+    bad = VxmConfig(enc=(8, 8), dec=(8, 8, 8), compute_dtype="float32")
+    with pytest.raises(ValueError):
+        import_keras_vxm_h5(path, params_template(bad), bad)
