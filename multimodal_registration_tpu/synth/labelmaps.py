@@ -28,19 +28,32 @@ def generate_label_map(
     im_max_std: float = 1.0,
     def_max_std: float = 3.0,
 ) -> jnp.ndarray:
-    """One ``(X, Y, Z)`` uint8 label map (values in ``[0, num_labels)``)."""
+    """One uint8 label map (values in ``[0, num_labels)``).
+
+    ``in_shape`` may be 3-D ``(X, Y, Z)`` or 2-D ``(X, Y)`` — the reference
+    generator supports both and saves 2-D maps as PNG
+    (`train_synthmorph.py:53,71-80`). The 2-D case runs as a single-plane
+    3-D volume with a zero z-displacement (num_dim=2 warp components).
+    """
     in_shape = tuple(int(s) for s in in_shape)
+    ndim = len(in_shape)
+    if ndim not in (2, 3):
+        raise ValueError(f"in_shape must be 2-D or 3-D, got {in_shape}")
+    shape3 = in_shape if ndim == 3 else (*in_shape, 1)
     keys = jax.random.split(key, num_labels)
 
     def channel(k):
         k_im, k_def = jax.random.split(k)
-        im = draw_perlin(k_im, (*in_shape, 1), im_scales, max_std=im_max_std)[..., 0]
-        wf = draw_perlin(k_def, (*in_shape, 3), def_scales, max_std=def_max_std)
+        im = draw_perlin(k_im, (*shape3, 1), im_scales, max_std=im_max_std)[..., 0]
+        wf = draw_perlin(k_def, (*shape3, ndim), def_scales, max_std=def_max_std)
+        if ndim == 2:  # zero z-component: displacement stays in-plane
+            wf = jnp.concatenate([wf, jnp.zeros((*shape3, 1), wf.dtype)], axis=-1)
         return warp(im, wf, interp="linear")
 
     # lax.map keeps only one channel's temporaries live at a time
     warped = jax.lax.map(channel, keys)  # (L, X, Y, Z)
-    return jnp.argmax(warped, axis=0).astype(jnp.uint8)
+    lab = jnp.argmax(warped, axis=0).astype(jnp.uint8)
+    return lab if ndim == 3 else lab[..., 0]
 
 
 def generate_label_maps(

@@ -48,11 +48,23 @@ def run_training(cfg: TrainConfig, max_steps: int | None = None) -> dict:
         )
         if cfg.save_label:
             os.makedirs(cfg.label_dir, exist_ok=True)
-            for i, m in enumerate(label_maps):
-                nifti.save(
-                    nifti.NiftiImage(m, np.eye(4)),
-                    os.path.join(cfg.label_dir, f"label_map_{cfg.add_str}{i + 1}.nii.gz"),
-                )
+            # 3-D maps → .nii.gz, 2-D maps → .png (train_synthmorph.py:71-80)
+            if len(cfg.in_shape) == 3:
+                for i, m in enumerate(label_maps):
+                    nifti.save(
+                        nifti.NiftiImage(m, np.eye(4)),
+                        os.path.join(cfg.label_dir, f"label_map_{cfg.add_str}{i + 1}.nii.gz"),
+                    )
+            else:
+                import matplotlib
+
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+
+                for i, m in enumerate(label_maps):
+                    plt.imsave(
+                        os.path.join(cfg.label_dir, f"label_map_{cfg.add_str}{i + 1}.png"), m
+                    )
         labels_in = np.unique(np.stack(label_maps))
     else:
         labels_in, label_maps = vio.load_labels(cfg.label_dir)

@@ -1,5 +1,7 @@
 """Tests for the on-device synthesis engine."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -119,3 +121,57 @@ class TestAugment:
             out = synth.maybe_zero_borders(jax.random.PRNGKey(i), vol, 4, 0.5)
             changed += int(np.asarray(out).sum() < vol.size)
         assert 4 < changed < 28
+
+
+class TestLabelMaps2D:
+    """2-D label-map generation + PNG save (train_synthmorph.py:53,71-80)."""
+
+    def test_generate_2d_map(self):
+        import jax
+        from multimodal_registration_tpu.synth.labelmaps import generate_label_map
+
+        m = np.asarray(generate_label_map(
+            jax.random.PRNGKey(0), (24, 20), num_labels=5,
+            im_scales=[4, 8], def_scales=[4],
+        ))
+        assert m.shape == (24, 20)
+        assert m.dtype == np.uint8
+        assert m.max() < 5
+        assert len(np.unique(m)) > 1  # not degenerate
+
+    def test_generate_2d_distinct_maps(self):
+        import jax
+        from multimodal_registration_tpu.synth.labelmaps import generate_label_maps
+
+        maps = generate_label_maps(
+            jax.random.PRNGKey(1), 2, (16, 16), 4, im_scales=[4], def_scales=[4],
+        )
+        assert len(maps) == 2 and not np.array_equal(maps[0], maps[1])
+
+    def test_png_save_via_training_cli(self, tmp_path):
+        from multimodal_registration_tpu.train.config import TrainConfig
+        from multimodal_registration_tpu.train.cli import run_training
+
+        cfg = TrainConfig.from_dict(dict(
+            in_shape=[16, 16], num_labels=4, num_maps=2,
+            im_scales=[4], def_scales=[4],
+            gen_label_only=True, save_label=True, add_str="",
+            label_dir=str(tmp_path / "labels"),
+            model_dir=str(tmp_path / "m"), log_dir="",
+        ))
+        out = run_training(cfg)
+        assert out["label_maps"] == 2
+        pngs = sorted(os.listdir(cfg.label_dir))
+        assert pngs == ["label_map_1.png", "label_map_2.png"]
+        import matplotlib.image as mpimg
+
+        img = mpimg.imread(os.path.join(cfg.label_dir, pngs[0]))
+        assert img.shape[:2] == (16, 16)  # readable PNG artifact
+
+    def test_rejects_bad_ndim(self):
+        import jax
+        import pytest
+        from multimodal_registration_tpu.synth.labelmaps import generate_label_map
+
+        with pytest.raises(ValueError):
+            generate_label_map(jax.random.PRNGKey(0), (16,), 4)
