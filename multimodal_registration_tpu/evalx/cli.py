@@ -14,6 +14,7 @@ import argparse
 import csv
 import datetime
 import os
+import threading
 
 import numpy as np
 
@@ -24,18 +25,27 @@ from multimodal_registration_tpu.utils import nifti
 
 
 def _load(path):
-    if len(path.split(".")) > 1:
+    # extension detection on the BASENAME — a dotted directory in the path
+    # must not make an extension-less stem look like a full filename
+    if "." in os.path.basename(path):
         return nifti.load(path)
     return nifti.load(f"{path}.nii.gz")
 
 
+# serializes header-check + append when evaluators run from `--jobs N`
+# pipeline worker threads (pipeline/batch.py); interleaved partial rows
+# would corrupt the CSVs
+_CSV_LOCK = threading.Lock()
+
+
 def _write_row(out_file: str, header: list, values: list, append: bool):
-    if not append or not os.path.isfile(out_file):
-        with open(out_file, "w", newline="") as f:
-            csv.DictWriter(f, fieldnames=header).writeheader()
-    with open(out_file, "a", newline="") as f:
-        w = csv.writer(f, delimiter=",")
-        w.writerow([datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")] + [str(v) for v in values])
+    with _CSV_LOCK:
+        if not append or not os.path.isfile(out_file):
+            with open(out_file, "w", newline="") as f:
+                csv.DictWriter(f, fieldnames=header).writeheader()
+        with open(out_file, "a", newline="") as f:
+            w = csv.writer(f, delimiter=",")
+            w.writerow([datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")] + [str(v) for v in values])
 
 
 def eval_on_sc_seg(argv=None) -> int:

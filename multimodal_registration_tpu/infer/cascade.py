@@ -147,6 +147,7 @@ def register_two_steps(
         "moved": moved,
         "moved_orig": moved_orig,
         "warp": warp_exp,
+        "warp_data": warp_data,  # working-space field at int-res (pre-RAI-export)
         "paths": paths,
         "scale": scale,
     }

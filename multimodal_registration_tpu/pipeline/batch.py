@@ -29,6 +29,28 @@ from multimodal_registration_tpu.pipeline.runner import PipelineConfig, run_subj
 from multimodal_registration_tpu.pipeline.segment import default_segmenter
 
 
+def filter_subjects(subjects, include=None, exclude=None,
+                    include_list=None, exclude_list=None):
+    """``sct_run_batch`` subject-selection parity (`README.md:128-132`):
+    ``-include``/``-exclude`` are regex/substring patterns, ``-include-list``/
+    ``-exclude-list`` are exact subject names (sub-IDs or full subject paths)."""
+    import re
+
+    def _exact(s, names):
+        base = s.split("/")[0]
+        return s in names or base in names
+
+    if include:
+        subjects = [s for s in subjects if any(re.search(i, s) for i in include)]
+    if exclude:
+        subjects = [s for s in subjects if not any(re.search(x, s) for x in exclude)]
+    if include_list:
+        subjects = [s for s in subjects if _exact(s, set(include_list))]
+    if exclude_list:
+        subjects = [s for s in subjects if not _exact(s, set(exclude_list))]
+    return subjects
+
+
 def run_batch(
     path_data: str,
     path_output: str,
@@ -37,6 +59,9 @@ def run_batch(
     model2_path: str | None = None,
     jobs: int = 1,
     include: list | None = None,
+    exclude: list | None = None,
+    include_list: list | None = None,
+    exclude_list: list | None = None,
     segmenter=None,
     **pipeline_kwargs,
 ):
@@ -57,8 +82,7 @@ def run_batch(
     qc = QCReport(path_qc)
 
     subjects = discover_subjects(path_data)
-    if include:
-        subjects = [s for s in subjects if any(i in s for i in include)]
+    subjects = filter_subjects(subjects, include, exclude, include_list, exclude_list)
 
     results = []
     t_start = time.time()
@@ -139,12 +163,21 @@ def main(argv=None):
     p.add_argument("--opt-affine", action="store_true",
                    help="enable the SC-Dice-gated centermass affine fallback")
     p.add_argument("--min-sc-dice", type=int, default=80)
-    p.add_argument("--include", nargs="*", default=None)
+    p.add_argument("--include", nargs="*", default=None,
+                   help="regex/substring patterns; keep matching subjects")
+    p.add_argument("--exclude", nargs="*", default=None,
+                   help="regex/substring patterns; drop matching subjects")
+    p.add_argument("--include-list", nargs="*", default=None,
+                   help="exact subject names to keep (sct_run_batch -include-list)")
+    p.add_argument("--exclude-list", nargs="*", default=None,
+                   help="exact subject names to drop (sct_run_batch -exclude-list)")
     a = p.parse_args(argv)
     _, summary = run_batch(
         a.path_data, a.path_output, a.model_path,
         config_path=a.config_path, model2_path=a.model2_path, jobs=a.jobs,
-        include=a.include, fx_contrast=a.fx_contrast, mov_contrast=a.mov_contrast,
+        include=a.include, exclude=a.exclude,
+        include_list=a.include_list, exclude_list=a.exclude_list,
+        fx_contrast=a.fx_contrast, mov_contrast=a.mov_contrast,
         opt_affine=a.opt_affine, min_sc_dice=a.min_sc_dice,
     )
     print(json.dumps(summary, indent=2))

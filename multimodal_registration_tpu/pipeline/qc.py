@@ -2,8 +2,14 @@
 
 Parity target: SCT ``sct_qc`` HTML reports invoked per subject
 (`pipeline_bids_register_evaluate.sh:159-164`, `README.md:114`): a browsable
-page showing, per subject, the fixed volume with the moving/moved volumes and
-segmentation overlays for visual registration QC.
+page showing, per subject, the fixed volume with the moving/moved volumes,
+segmentation overlays, and the warped deformation grid (sct_qc's
+registration view) for visual QC.
+
+Thread-safety: ``add_subject`` may be called from ``--jobs N`` worker threads
+(`pipeline/batch.py`); it only does numpy work (load + mosaic) and appends
+under a lock. All matplotlib rendering happens in :meth:`write` on the
+calling thread — matplotlib is not thread-safe even with Agg.
 """
 
 from __future__ import annotations
@@ -12,6 +18,7 @@ import base64
 import html
 import io
 import os
+import threading
 
 import numpy as np
 
@@ -24,7 +31,8 @@ def _mosaic(vol: np.ndarray, n_slices: int = 6, axis: int = 2) -> np.ndarray:
     return np.concatenate(slices, axis=1)
 
 
-def _png_b64(img: np.ndarray, overlay: np.ndarray | None = None) -> str:
+def _png_b64(img: np.ndarray, overlay: np.ndarray | None = None,
+             overlay_cmap: str = "autumn") -> str:
     import matplotlib
 
     matplotlib.use("Agg")
@@ -34,7 +42,7 @@ def _png_b64(img: np.ndarray, overlay: np.ndarray | None = None) -> str:
     ax.imshow(img, cmap="gray", interpolation="nearest")
     if overlay is not None:
         masked = np.ma.masked_where(overlay == 0, overlay)
-        ax.imshow(masked, cmap="autumn", alpha=0.5, interpolation="nearest")
+        ax.imshow(masked, cmap=overlay_cmap, alpha=0.5, interpolation="nearest")
     ax.axis("off")
     buf = io.BytesIO()
     fig.savefig(buf, format="png", bbox_inches="tight", pad_inches=0)
@@ -42,11 +50,21 @@ def _png_b64(img: np.ndarray, overlay: np.ndarray | None = None) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
+def make_grid_volume(shape, spacing: int = 8) -> np.ndarray:
+    """In-plane gridline volume: x/y lattice planes (axial slices show a 2-D
+    grid; warping it visualizes the deformation like sct_qc's grid view)."""
+    g = np.zeros(shape, np.float32)
+    g[::spacing, :, :] = 1.0
+    g[:, ::spacing, :] = 1.0
+    return g
+
+
 class QCReport:
     def __init__(self, qc_dir: str, title: str = "Registration QC"):
         self.qc_dir = qc_dir
         self.title = title
         self.entries = []
+        self._lock = threading.Lock()
         os.makedirs(qc_dir, exist_ok=True)
 
     def add_subject(
@@ -57,26 +75,44 @@ class QCReport:
         moved_path: str,
         seg_paths: dict | None = None,
         metrics: dict | None = None,
+        warped_grid: np.ndarray | None = None,
     ):
-        panels = []
+        """Collect mosaics for one subject (numpy only — thread-safe).
+
+        ``warped_grid``: gridline volume warped by the subject's deformation
+        field (processed space) → rendered as the deformation-grid panel.
+        """
+        panels = []  # (name, img_mosaic, overlay_mosaic | None, overlay_cmap)
         segs = seg_paths or {}
+        moved_mosaic = None
         for name, path in [("fixed", fixed_path), ("moving", moving_path), ("moved", moved_path)]:
             vol = nifti.load(path).get_fdata()
             lo, hi = np.percentile(vol, [1, 99])
             vol = np.clip((vol - lo) / max(hi - lo, 1e-9), 0, 1)
+            m = _mosaic(vol)
+            if name == "moved":
+                moved_mosaic = m
             overlay = None
             if name in segs and os.path.exists(segs[name]):
                 overlay = _mosaic(nifti.load(segs[name]).get_fdata())
-            panels.append((name, _png_b64(_mosaic(vol), overlay)))
-        self.entries.append({"subject": subject, "panels": panels, "metrics": metrics or {}})
+            panels.append((name, m, overlay, "autumn"))
+        if warped_grid is not None and moved_mosaic is not None:
+            grid_m = (_mosaic(np.asarray(warped_grid, np.float32)) > 0.3).astype(np.float32)
+            panels.append(("moved + deformation grid", moved_mosaic, grid_m, "cool"))
+        with self._lock:
+            self.entries.append(
+                {"subject": subject, "panels": panels, "metrics": metrics or {}}
+            )
 
     def write(self) -> str:
         rows = []
-        for e in self.entries:
+        with self._lock:
+            entries = sorted(self.entries, key=lambda e: e["subject"])
+        for e in entries:
             imgs = "".join(
                 f"<figure><figcaption>{html.escape(n)}</figcaption>"
-                f'<img src="data:image/png;base64,{b}"/></figure>'
-                for n, b in e["panels"]
+                f'<img src="data:image/png;base64,{_png_b64(m, ov, cm)}"/></figure>'
+                for n, m, ov, cm in e["panels"]
             )
             mets = "".join(
                 f"<li>{html.escape(str(k))}: {html.escape(f'{v:.4f}' if isinstance(v, float) else str(v))}</li>"

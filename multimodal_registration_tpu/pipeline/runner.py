@@ -20,9 +20,13 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Optional
+
+# serializes error-log appends from `--jobs N` worker threads
+_ERRLOG_LOCK = threading.Lock()
 
 from multimodal_registration_tpu.evalx.jacobian import folding_summary
 from multimodal_registration_tpu.evalx.overlap import overlap_metrics
@@ -238,6 +242,20 @@ def run_subject(
 
         # ---- QC (sh:159-164) ----
         if qc is not None:
+            # deformation-grid panel (sct_qc registration view, README.md:114):
+            # warp an in-plane gridline volume by the subject's field
+            warped_grid = None
+            try:
+                from multimodal_registration_tpu.infer.register import apply_warp
+                from multimodal_registration_tpu.pipeline.qc import make_grid_volume
+
+                proc_shape = nifti.load(moved_p).shape[:3]
+                warped_grid = apply_warp(
+                    make_grid_volume(proc_shape), out["warp_data"], "linear",
+                    rescale=out["scale"],
+                )
+            except Exception:
+                warped_grid = None
             qc.add_subject(
                 subject, fx_proc_p, mov_proc_p, moved_p,
                 seg_paths={"fixed": fx_seg_p, "moved": moved_seg_p},
@@ -246,6 +264,7 @@ def run_subject(
                     "pct_negative_detJ": jac["percentage_negative_detJa"],
                     "affine_fallback": used_fallback,
                 },
+                warped_grid=warped_grid,
             )
 
         # ---- reorganize outputs (sh:166-221) ----
@@ -258,7 +277,9 @@ def run_subject(
         # ---- output existence check (sh:223-243) ----
         missing = [p for p in (final_fx, final_moved) if not os.path.exists(p)]
         if missing:
-            with open(os.path.join(path_out, "_error_check_output_files.log"), "a") as f:
+            with _ERRLOG_LOCK, open(
+                os.path.join(path_out, "_error_check_output_files.log"), "a"
+            ) as f:
                 for p in missing:
                     f.write(f"{subject}: missing {p}\n")
 

@@ -172,3 +172,56 @@ def test_run_batch_two_step(tmp_path):
         config_path=cfgp, fx_contrast="T2w", mov_contrast="T1w",
     )
     assert summary["n_ok"] == 1, [r.error for r in results]
+
+
+def test_filter_subjects():
+    from multimodal_registration_tpu.pipeline.batch import filter_subjects
+
+    subs = ["sub-01", "sub-02", "sub-03/ses-01", "sub-10"]
+    assert filter_subjects(subs) == subs
+    assert filter_subjects(subs, include=["sub-0"]) == ["sub-01", "sub-02", "sub-03/ses-01"]
+    assert filter_subjects(subs, exclude=["ses-"]) == ["sub-01", "sub-02", "sub-10"]
+    assert filter_subjects(subs, include_list=["sub-02", "sub-03"]) == ["sub-02", "sub-03/ses-01"]
+    assert filter_subjects(subs, exclude_list=["sub-10"]) == ["sub-01", "sub-02", "sub-03/ses-01"]
+    # regex include (sct_run_batch passes regexes)
+    assert filter_subjects(subs, include=[r"sub-0[12]$"]) == ["sub-01", "sub-02"]
+
+
+def test_run_batch_jobs4_threadsafe(tmp_path):
+    """--jobs 4 over 8 subjects: no interleaved/corrupt CSV rows, valid QC
+    page with a deformation-grid panel per subject (VERDICT items 8+10)."""
+    import csv as csvmod
+
+    subjects = tuple(f"sub-{i:02d}" for i in range(1, 9))
+    data = _make_bids(tmp_path, subjects=subjects)
+    cfgp = str(tmp_path / "cfg.json")
+    with open(cfgp, "w") as f:
+        json.dump(dict(enc=[4] * 4, dec=[4] * 6, compute_dtype="float32"), f)
+    out = str(tmp_path / "out_jobs")
+    results, summary = run_batch(
+        data, out, _weights(tmp_path), config_path=cfgp, jobs=4,
+        fx_contrast="T2w", mov_contrast="T1w",
+    )
+    assert summary["n_subjects"] == 8
+    assert summary["n_ok"] == 8, [r.error for r in results]
+
+    csv_dir = os.path.join(out, "data_processed")
+    for fname in ("metrics_on_sc_seg.csv", "nmi.csv", "jacobian_det.csv"):
+        with open(os.path.join(csv_dir, fname), newline="") as f:
+            rows = list(csvmod.reader(f))
+        header, body = rows[0], rows[1:]
+        assert len(body) == 8, f"{fname}: expected 8 rows, got {len(body)}"
+        ncols = len(header)
+        for r in body:
+            assert len(r) == ncols, f"{fname}: corrupt row {r}"
+        # each subject appears exactly once
+        subj_col = [c for c in body]
+        ids = sorted(r[1] for r in body)
+        assert ids == sorted(subjects)
+
+    html_text = open(os.path.join(out, "qc", "index.html")).read()
+    for s in subjects:
+        assert s in html_text
+    assert html_text.count("moved + deformation grid") == 8
+    # 4 panels per subject (fixed, moving, moved, grid)
+    assert html_text.count("data:image/png;base64") == 32
