@@ -1,33 +1,28 @@
-"""Pallas trilinear-warp kernel — design + feasibility status.
+"""Pallas trilinear-warp kernel — status note.
 
-STATUS (round 1, 2026-08-16): BLOCKED on the current TPU backend. Probes:
+SUPERSEDED (round 2, 2026-08-16): the hot warp no longer needs a Pallas
+kernel. ``benchmarks/gather_probe.py`` showed this backend's XLA gather rate
+is governed by the gather SOURCE size (~110 M rows/s under ~100 MB, ~6x
+collapse above ~200 MB), so ``ops/warp.py`` now packs 2x2x2xC corner
+neighborhoods into single rows and slabs the packed source along X under
+``lax.map`` so every gather stays under the budget: 369 ms → 74 ms at
+192^3 x 3ch — within ~15% of the measured gather-engine floor
+(7.1 M rows / 110 M rows/s ≈ 64 ms). The backward inherits the same slab
+structure through autodiff (train step 2.75 → 0.96 s at 160x160x192/26).
 
-  * in-kernel ``jnp.take`` (flat gather) →
-    ``NotImplementedError: Only 2D gather is supported`` (Mosaic),
-  * in-kernel 2-D ``take_along_axis`` (either axis) → remote
-    ``tpu_compile_helper`` internal error (HTTP 500),
-  * XLA-level ``lax.gather`` with ``slice_sizes=(2,2,2,C)`` → correct but the
-    gather output's minor dims are layout-padded to (8,128) tiles, a ~20×
-    memory expansion that OOMs at 192³ (this variant IS used on CPU, see
-    ``ops.warp._sample_linear_blockgather``).
+Mosaic probe history (re-probed each round via ``benchmarks/probe_mosaic.py``):
 
-INTENDED DESIGN (to implement when Mosaic gathers land / backend updates):
+  * round 1 (2026-08-16): in-kernel ``jnp.take`` (flat gather) →
+    ``NotImplementedError: Only 2D gather is supported`` (Mosaic);
+    2-D ``take_along_axis`` (either axis) → remote ``tpu_compile_helper``
+    internal error (HTTP 500); XLA-level block gather OOMs from (8,128)
+    layout padding.
+  * round 2: see the probe-result JSON lines appended to PERF.md after each
+    ``benchmarks/probe_mosaic.py`` run.
 
-  grid over output X-tiles; per tile:
-    1. compute sample coords from the flow tile (VMEM),
-    2. DMA an input slab ``[x0-H, x0+TX+H) × Y × Z`` from HBM into VMEM
-       (halo H bounds the displacement; runtime max-|u| check falls back to
-       the XLA path when exceeded),
-    3. z-axis resolution via a banded one-hot matrix multiplied on the MXU
-       (gather-free: out_row = P @ slab_row with P holding the two trilinear
-       z-weights per output position),
-    4. x/y corners via dynamic slab slices + VPU select-accumulate.
-
-  Cost model: slab DMA ≈ (TX+2H)·Y·Z·dtype bytes per tile (sequential HBM
-  reads at full bandwidth instead of random-access gathers) + one 128×128
-  matmul per slab row. Target: ≥10× over the XLA gather (369 ms → ≤40 ms at
-  192³×3ch).
-
-Until then, the public API (:func:`multimodal_registration_tpu.ops.warp.warp`)
-uses the XLA 8-gather formulation on TPU.
+A hand-written Pallas kernel (slab DMA + in-VMEM arithmetic) could in
+principle beat the 64 ms gather-engine floor by computing the trilinear
+blend from a VMEM-resident slab without the gather unit, but with the XLA
+path at 74 ms the marginal win no longer justifies it while Mosaic gathers
+remain uncompilable on this backend.
 """
