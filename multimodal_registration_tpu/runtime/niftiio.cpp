@@ -240,9 +240,43 @@ int copy_out(const NiftiVolume& vol, float* out, int64_t max_elems,
   return static_cast<int>(n);
 }
 
+// ---- gzip writer --------------------------------------------------------------
+
+int write_file_gz(const std::string& path, const uint8_t* data, int64_t n,
+                  int level) {
+  // "wbN" sets the compression level; gzFile writes a gzip wrapper. mtime in
+  // the gzip header is whatever zlib stamps — callers needing byte-stable
+  // output compare decompressed content (tests do).
+  std::string mode = "wb";
+  mode += static_cast<char>('0' + (level < 0 ? 6 : (level > 9 ? 9 : level)));
+  gzFile f = gzopen(path.c_str(), mode.c_str());
+  if (!f) return -1;
+  gzbuffer(f, 1 << 20);
+  int64_t off = 0;
+  while (off < n) {
+    unsigned chunk = static_cast<unsigned>(
+        std::min<int64_t>(n - off, 1 << 20));
+    int w = gzwrite(f, data + off, chunk);
+    if (w <= 0) {
+      gzclose(f);
+      return -2;
+    }
+    off += w;
+  }
+  return gzclose(f) == Z_OK ? 0 : -3;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Deflate `data` (n bytes) to `path` as a gzip file at `level` (0-9; <0 → 6).
+// Returns 0 on success, negative on error. Used for fast .nii.gz saving —
+// Python's gzip at level 9 costs seconds per 192^3 volume.
+int mmreg_write_file_gz(const char* path, const uint8_t* data, int64_t n,
+                        int level) {
+  return write_file_gz(path, data, n, level);
+}
 
 int mmreg_load_nifti(const char* path, float* out, int64_t max_elems,
                      int32_t* dims_out, float* affine_out) {

@@ -70,6 +70,14 @@ def get_lib():
         ]
         lib.mmreg_prefetch_destroy.restype = None
         lib.mmreg_prefetch_destroy.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "mmreg_write_file_gz"):
+            lib.mmreg_write_file_gz.restype = ctypes.c_int
+            lib.mmreg_write_file_gz.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_int,
+            ]
         _lib = lib
         return _lib
 
@@ -106,6 +114,22 @@ def load_nifti_native(path: str):
     if rc < 0:
         raise IOError(f"native nifti load failed ({rc}) for {path}")
     return _finish(out, shape, aff)
+
+
+def write_gz_native(path: str, payload: bytes, level: int | None = None) -> bool:
+    """Deflate `payload` to `path` via the C++ writer; False when unavailable.
+
+    ~4-6x faster than Python gzip level 9 on 192^3 volumes — the .nii.gz
+    save path of the batch pipeline (moved/field/seg/detJa per subject)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mmreg_write_file_gz"):
+        return False
+    if level is None:
+        level = int(os.environ.get("MMREG_GZ_LEVEL", 6))
+    rc = lib.mmreg_write_file_gz(path.encode(), payload, len(payload), level)
+    if rc != 0:
+        raise IOError(f"native gzip write failed ({rc}) for {path}")
+    return True
 
 
 class PrefetchPool:

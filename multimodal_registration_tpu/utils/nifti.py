@@ -298,17 +298,27 @@ def save(img: NiftiImage, path: str) -> None:
     buf[344:348] = b"n+1\x00"
 
     payload = bytes(buf) + np.asfortranarray(data).tobytes(order="F")
-    if str(path).endswith(".gz"):
-        # mtime=0 for reproducible bytes
-        bio = io.BytesIO()
-        with gzip.GzipFile(fileobj=bio, mode="wb", mtime=0) as f:
-            f.write(payload)
-        blob = bio.getvalue()
-    else:
-        blob = payload
     tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "wb") as f:
-        f.write(blob)
+    if str(path).endswith(".gz"):
+        # native zlib writer (level 6) when the C++ runtime is built — Python
+        # gzip at level 9 costs seconds per 192^3 volume in the batch pipeline
+        wrote = False
+        try:
+            from multimodal_registration_tpu.utils.native import write_gz_native
+
+            wrote = write_gz_native(tmp, payload)
+        except Exception:
+            wrote = False
+        if not wrote:
+            # mtime=0 for reproducible bytes
+            bio = io.BytesIO()
+            with gzip.GzipFile(fileobj=bio, mode="wb", mtime=0, compresslevel=6) as f:
+                f.write(payload)
+            with open(tmp, "wb") as f:
+                f.write(bio.getvalue())
+    else:
+        with open(tmp, "wb") as f:
+            f.write(payload)
     os.replace(tmp, path)
 
 

@@ -66,3 +66,29 @@ def test_prefetch_pool(tmp_path):
 def test_native_missing_file_errors(tmp_path):
     with pytest.raises(IOError):
         load_nifti_native(str(tmp_path / "nope.nii.gz"))
+
+
+def test_native_gz_writer_roundtrip(tmp_path):
+    """The C++ gzip writer's output must decode identically via both readers."""
+    from multimodal_registration_tpu.utils import nifti
+    from multimodal_registration_tpu.utils.native import get_lib, write_gz_native
+
+    if get_lib() is None:
+        pytest.skip("native runtime not built")
+    data = np.random.default_rng(3).normal(size=(12, 10, 8)).astype(np.float32)
+    p = str(tmp_path / "w.nii.gz")
+    nifti.save(nifti.NiftiImage(data, np.diag([1.0, 1.0, 2.0, 1.0])), p)
+    back = nifti.load(p)
+    np.testing.assert_allclose(back.get_fdata(), data, atol=1e-6)
+    from multimodal_registration_tpu.utils.native import load_nifti_native
+
+    d2, aff = load_nifti_native(p)
+    np.testing.assert_allclose(d2, data, atol=1e-6)
+    np.testing.assert_allclose(aff[2, 2], 2.0, atol=1e-6)
+    # direct writer API: arbitrary payload roundtrip through gzip
+    import gzip
+    blob = b"mmreg-native-gz" * 1000
+    p2 = str(tmp_path / "blob.gz")
+    assert write_gz_native(p2, blob)
+    with gzip.open(p2, "rb") as f:
+        assert f.read() == blob
