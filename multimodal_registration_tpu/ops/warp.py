@@ -10,14 +10,17 @@ Semantics parity with ``vxm.layers.SpatialTransformer`` / ``vxm.utils.transform`
 
 Implementations (selected automatically; override with ``MMREG_WARP_MODE``):
 
-  * ``packed`` (TPU default): the measured bottleneck on this backend is the
-    gather's *index-row rate* (~0.15 G rows/s; payload width barely matters —
-    PERF.md "What was tried"). So we pre-pack every 2x2x2xC corner
-    neighborhood into one contiguous row via 8 edge-padded shifted copies
-    (pure memory-bound writes), then issue ONE gather of N rows instead of 8
-    gathers (8N rows). The autodiff transpose inherits the same 8x row
-    reduction (one packed scatter-add instead of 8 scatters), which is the
-    dominant cost of the scaling-and-squaring backward.
+  * ``packed`` (TPU default): this backend's gather row rate is ~110 M
+    rows/s while the SOURCE is < ~100 MB and collapses ~6x above ~200 MB
+    (benchmarks/gather_probe.py — a fast staging tier). So we pre-pack every
+    2x2x2xC corner neighborhood into one contiguous row via 8 edge-padded
+    shifted copies (pure memory-bound writes) and issue ONE gather of N rows
+    instead of 8 gathers (8N rows); when the packed source exceeds the
+    budget, the gather is slabbed along X so each chunk's source stays under
+    the cliff (see the chunked section below). The autodiff transpose
+    inherits the same row reduction and slab structure (one packed
+    scatter-add per slab instead of 8 whole-volume scatters) — the dominant
+    cost of the scaling-and-squaring backward in training.
   * ``blockgather`` (CPU default): one ``lax.gather`` of 2x2x2xC blocks —
     compact on CPU, but on TPU the block output's minor dims are layout-padded
     to (8,128) tiles (~20x expansion, OOMs at 192^3; measured).
