@@ -117,16 +117,27 @@ def main(steps: int = 6000, warm: str | None = None):
         mean_label_dice(fx_lab, mov_lab, NUM_LABELS)
         for _, mov_lab, _, fx_lab in pairs])), 4)
 
-    log = {"workload": f"{SHAPE} / {NUM_LABELS} labels",
-           "warm_start": warm or "",
-           "identity": {"nmi": base_nmi, "dice": base_dice},
-           "trajectory": []}
+    # resuming from our own checkpoint continues the committed trajectory
+    # (crash-safe across round boundaries) instead of restarting the log
+    step_base = 0
+    if warm == CKPT and os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            log = json.load(f)
+        log["warm_start"] = warm
+        if log["trajectory"]:
+            step_base = int(log["trajectory"][-1]["step"])
+        print(f"resuming trajectory at step {step_base}", flush=True)
+    else:
+        log = {"workload": f"{SHAPE} / {NUM_LABELS} labels",
+               "warm_start": warm or "",
+               "identity": {"nmi": base_nmi, "dice": base_dice},
+               "trajectory": []}
 
     def snapshot(step, loss, spс):
         nmi, dice, mf = evaluate(params)
         log["trajectory"].append({
-            "step": step, "loss": round(loss, 4), "nmi": nmi, "dice": dice,
-            "mean_abs_flow_vox": mf, "sec_per_step": round(spс, 3)})
+            "step": step_base + step, "loss": round(loss, 4), "nmi": nmi,
+            "dice": dice, "mean_abs_flow_vox": mf, "sec_per_step": round(spс, 3)})
         with open(RESULTS, "w") as f:
             json.dump(log, f, indent=1)
         trainer.save_checkpoint(os.path.join(HERE, "_learn_ref_ckpt"), params,
@@ -136,7 +147,8 @@ def main(steps: int = 6000, warm: str | None = None):
               f"flow {mf} ({spс:.2f}s/step)", flush=True)
 
     t0 = time.time()
-    snapshot(0, float("nan"), 0.0)
+    if step_base == 0:
+        snapshot(0, float("nan"), 0.0)
     eval_every = 1000
     for step in range(1, steps + 1):
         idx = rng.integers(len(maps), size=1)
@@ -152,6 +164,10 @@ def main(steps: int = 6000, warm: str | None = None):
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
-    w = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        HERE, "learned_96cube_16lab_24k.npz")
+    if len(sys.argv) > 2:
+        w = sys.argv[2]
+    elif os.path.exists(CKPT):
+        w = CKPT  # continue our own ref-workload run
+    else:
+        w = os.path.join(HERE, "learned_96cube_16lab_24k.npz")
     main(n, w)

@@ -36,7 +36,7 @@ import numpy as np
 from multimodal_registration_tpu.models.unet import Unet
 from multimodal_registration_tpu.ops.integrate import integrate_svf
 from multimodal_registration_tpu.ops.resize import rescale_field
-from multimodal_registration_tpu.ops.warp import warp
+from multimodal_registration_tpu.ops.warp import warp_batch
 
 
 @dataclass(frozen=True)
@@ -138,9 +138,9 @@ class VxmDense(nn.Module):
         else:
             flow_fullres = pos_flow
 
-        moved = jax.vmap(lambda v, f: warp(v, f, interp="linear"))(
-            moving.astype(jnp.float32), flow_fullres
-        )
+        # warp_batch (not vmap(warp)): keeps the chunked path's halo cond a
+        # real conditional — vmap would turn it into a both-branches select
+        moved = warp_batch(moving.astype(jnp.float32), flow_fullres, interp="linear")
         return {
             "moved": moved,
             "warp": pos_flow,  # at int-res: the reference predict() output #2

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from multimodal_registration_tpu.ops.warp import warp
+from multimodal_registration_tpu.ops.warp import warp, warp_batch
 
 
 def compose_fields(phi1: jnp.ndarray, phi2: jnp.ndarray) -> jnp.ndarray:
@@ -24,6 +24,15 @@ def compose_fields(phi1: jnp.ndarray, phi2: jnp.ndarray) -> jnp.ndarray:
     (`bids_two_steps_registration.py:324`).
     """
     return phi2 + warp(phi1, phi2, interp="linear")
+
+
+def compose_fields_batch(phi1: jnp.ndarray, phi2: jnp.ndarray) -> jnp.ndarray:
+    """Batched :func:`compose_fields` (``(B,X,Y,Z,3)`` fields).
+
+    Goes through :func:`warp_batch` rather than ``vmap(compose_fields)`` so
+    the chunked warp's halo guard stays a real ``lax.cond`` (vmap would
+    execute both branches — see ``warp_batch``)."""
+    return phi2 + warp_batch(phi1, phi2, interp="linear")
 
 
 def compose_many(fields) -> jnp.ndarray:

@@ -121,22 +121,33 @@ def _sample_linear_packed(vol, c):
 
 # ---- chunked packed warp (the fast path for big volumes) --------------------
 #
-# Measured on this backend (benchmarks/gather_probe.py): gather row rate is
-# ~110 M rows/s while the source is < ~100 MB and collapses ~6x above
-# ~200 MB (a fast staging tier). So for sources over budget we slab the
-# packed corner volume along X (slab = output chunk + displacement halo H)
-# and gather within each slab under lax.map: 369 ms → 74 ms at 192^3 x 3ch
-# (benchmarks/warp_chunked_proto.py). A runtime guard max|flow_x| <= H-1
-# falls back to the unchunked gather via lax.cond when the halo is exceeded.
+# Measured on this backend (benchmarks/gather_probe.py + round-2 remeasure):
+# gather row rate is ~110-160 M rows/s while the source's PADDED size is
+# under ~500 MB and collapses ~4-6x above ~700 MB. "Padded" because TPU
+# lays the (rows, 8C) packed source out in (sublane, 128-lane) tiles — a
+# width-8 f32 row occupies 512 bytes, 16x its logical size. (This is what
+# every probe point agrees on: width-24 f32 fast at 453 MB padded / slow at
+# 1.07 GB; int8 width-8 onehot pack fast at 628 MB; the C=1 moved-image
+# warp slow at 1.2 GB padded even though only 75 MB logical.) So for
+# sources over budget we slab the packed corner volume along X (slab =
+# output chunk + displacement halo H) and gather within each slab under
+# lax.map. A runtime guard max|flow_x| <= H-1 falls back to the unchunked
+# gather via lax.cond when the halo is exceeded.
 
 def _gather_budget() -> int:
-    return int(os.environ.get("MMREG_GATHER_SRC_BUDGET", 80_000_000))
+    """PADDED-byte budget for one gather source (see layout note above)."""
+    return int(os.environ.get("MMREG_GATHER_SRC_BUDGET", 480_000_000))
+
+
+def _padded_row_bytes(C: int, itemsize: int) -> int:
+    """Bytes one packed (8C,) row occupies in TPU tiled layout (128 lanes)."""
+    return max(8 * C, 128) * itemsize
 
 
 def _chunk_plan(X: int, Y: int, Z: int, C: int, itemsize: int):
     """Pick (halo H, n_chunks, slab planes S) or None if chunking is moot."""
     budget = _gather_budget()
-    plane = Y * Z * 8 * C * itemsize
+    plane = Y * Z * _padded_row_bytes(C, itemsize)
     if X * plane <= budget:
         return None  # whole packed source already under the cliff
     for H in (16, 8, 4):
@@ -151,8 +162,9 @@ def _chunk_plan(X: int, Y: int, Z: int, C: int, itemsize: int):
     return None
 
 
-def _warp_linear_packed_chunked(vol, c, flow_x, H, n_chunks, S):
-    """Chunked packed trilinear warp; falls back when |flow_x| > H-1."""
+def _chunked_body(vol, c, H, n_chunks, S):
+    """Chunked packed trilinear warp body. CORRECT ONLY when every
+    ``|flow_x| <= H-1`` — callers must guard (see :func:`_halo_cond`)."""
     X, Y, Z, C = vol.shape
     CX = X // n_chunks
     packed4 = pack_corners(vol).reshape(X, Y, Z, 8 * C)
@@ -161,32 +173,53 @@ def _warp_linear_packed_chunked(vol, c, flow_x, H, n_chunks, S):
     w8 = _corner_weights(w)  # (X, Y, Z, 8)
     hi_p = jax.lax.Precision.HIGHEST
 
-    def chunked(_):
-        def chunk_fn(k):
-            x0 = k * CX
-            s = jnp.clip(x0 - H, 0, X - S)
-            slab = jax.lax.dynamic_slice(packed4, (s, 0, 0, 0), (S, Y, Z, 8 * C))
-            ix = jax.lax.dynamic_slice(i0x, (x0, 0, 0), (CX, Y, Z))
-            iyz = jax.lax.dynamic_slice(
-                lin, (x0, 0, 0), (CX, Y, Z)
-            ) - ix * (Y * Z)  # lin = (ix*Y + iy)*Z + iz → iy*Z + iz remainder
-            ixr = jnp.clip(ix - s, 0, S - 1)
-            lin_s = ixr * (Y * Z) + iyz
-            rows = jnp.take(slab.reshape(S * Y * Z, 8 * C), lin_s.reshape(-1), axis=0)
-            blocks = rows.reshape(CX, Y, Z, 8, C).astype(jnp.float32)
-            w8c = jax.lax.dynamic_slice(w8, (x0, 0, 0, 0), (CX, Y, Z, 8))
-            return jnp.einsum("...kc,...k->...c", blocks, w8c, precision=hi_p)
+    def chunk_fn(k):
+        x0 = k * CX
+        s = jnp.clip(x0 - H, 0, X - S)
+        slab = jax.lax.dynamic_slice(packed4, (s, 0, 0, 0), (S, Y, Z, 8 * C))
+        ix = jax.lax.dynamic_slice(i0x, (x0, 0, 0), (CX, Y, Z))
+        iyz = jax.lax.dynamic_slice(
+            lin, (x0, 0, 0), (CX, Y, Z)
+        ) - ix * (Y * Z)  # lin = (ix*Y + iy)*Z + iz → iy*Z + iz remainder
+        ixr = jnp.clip(ix - s, 0, S - 1)
+        lin_s = ixr * (Y * Z) + iyz
+        rows = jnp.take(slab.reshape(S * Y * Z, 8 * C), lin_s.reshape(-1), axis=0)
+        blocks = rows.reshape(CX, Y, Z, 8, C).astype(jnp.float32)
+        w8c = jax.lax.dynamic_slice(w8, (x0, 0, 0, 0), (CX, Y, Z, 8))
+        return jnp.einsum("...kc,...k->...c", blocks, w8c, precision=hi_p)
 
-        out = jax.lax.map(chunk_fn, jnp.arange(n_chunks))
-        return out.reshape(X, Y, Z, C)
+    out = jax.lax.map(chunk_fn, jnp.arange(n_chunks))
+    return out.reshape(X, Y, Z, C)
 
-    def fallback(_):
-        rows = _take_rows(packed4.reshape(X * Y * Z, 8 * C), lin)
-        blocks = rows.reshape(X, Y, Z, 8, C).astype(jnp.float32)
-        return jnp.einsum("...kc,...k->...c", blocks, w8, precision=hi_p)
 
+def _packed_full(vol, c):
+    """Unchunked whole-volume packed gather (the halo-overflow fallback)."""
+    X, Y, Z, C = vol.shape
+    lin, w = _floor_base(c, X, Y, Z)
+    rows = _take_rows(pack_corners(vol), lin)
+    blocks = rows.reshape(X, Y, Z, 8, C).astype(jnp.float32)
+    return jnp.einsum(
+        "...kc,...k->...c", blocks, _corner_weights(w),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _warp_linear_packed_chunked(vol, c, flow_x, H, n_chunks, S):
+    """Chunked packed trilinear warp; falls back when |flow_x| > H-1.
+
+    NOTE: do NOT call under ``jax.vmap`` — vmap turns the guard ``lax.cond``
+    into a select that executes BOTH branches, paying the whole-volume
+    fallback gather on every call (measured 3x slowdown on the model's
+    moved-image warp). Batched callers go through :func:`warp_batch`, which
+    hoists the cond above the vmap.
+    """
     in_halo = jnp.max(jnp.abs(flow_x)) <= float(H - 1)
-    return jax.lax.cond(in_halo, chunked, fallback, 0).astype(vol.dtype)
+    return jax.lax.cond(
+        in_halo,
+        lambda _: _chunked_body(vol, c, H, n_chunks, S),
+        lambda _: _packed_full(vol, c),
+        0,
+    ).astype(vol.dtype)
 
 
 def _sample_linear_blockgather(vol, c):
@@ -305,8 +338,42 @@ def warp(vol: jnp.ndarray, flow: jnp.ndarray, interp: str = "linear") -> jnp.nda
 
 
 def warp_batch(vol, flow, interp="linear"):
-    """Batched warp over leading axis: ``vol (B,X,Y,Z,C)``, ``flow (B,X,Y,Z,3)``."""
-    return jax.vmap(lambda v, f: warp(v, f, interp=interp))(vol, flow)
+    """Batched warp over leading axis: ``vol (B,X,Y,Z,C[=absent])``,
+    ``flow (B,X,Y,Z,3)``.
+
+    NOT a plain ``vmap(warp)``: the chunked packed path guards its halo with
+    ``lax.cond``, and vmap converts a batched-predicate cond into a select
+    that executes BOTH branches — every call would pay the whole-volume
+    fallback gather on top of the chunked one. Here the halo predicate is
+    reduced over the whole batch and the cond sits ABOVE the vmap, so it
+    stays a real runtime conditional (and reduces with a cheap collective
+    when the batch is sharded over the ``data`` mesh axis).
+    """
+    squeeze = vol.ndim == 4
+    v5 = vol[..., None] if squeeze else vol
+    B, X, Y, Z, C = v5.shape
+    use_chunked = (
+        interp == "linear"
+        and _warp_mode() == "packed"
+        and (X, Y, Z) == tuple(flow.shape[1:4])
+    )
+    plan = _chunk_plan(X, Y, Z, C, jnp.dtype(v5.dtype).itemsize) if use_chunked else None
+    if plan is None:
+        out = jax.vmap(lambda v, f: warp(v, f, interp=interp))(v5, flow)
+        return out[..., 0] if squeeze else out
+
+    H, n_chunks, S = plan
+    grid = identity_grid((X, Y, Z), dtype=jnp.float32)
+    dims = jnp.array([X - 1, Y - 1, Z - 1], jnp.float32)
+    c = jnp.clip(grid[None] + flow.astype(jnp.float32), 0.0, dims)
+    in_halo = jnp.max(jnp.abs(flow[..., 0])) <= float(H - 1)
+    out = jax.lax.cond(
+        in_halo,
+        lambda _: jax.vmap(lambda v, cc: _chunked_body(v, cc, H, n_chunks, S))(v5, c),
+        lambda _: jax.vmap(_packed_full)(v5, c),
+        0,
+    ).astype(v5.dtype)
+    return out[..., 0] if squeeze else out
 
 
 def warp_onehot(labels: jnp.ndarray, flow: jnp.ndarray, num_classes: int) -> jnp.ndarray:

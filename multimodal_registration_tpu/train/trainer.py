@@ -32,7 +32,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from multimodal_registration_tpu.losses import dice_loss, dice_loss_zeropad, grad_loss
 from multimodal_registration_tpu.models.vxm_dense import VxmConfig, VxmDense
-from multimodal_registration_tpu.ops.field import compose_fields
+from multimodal_registration_tpu.ops.field import compose_fields_batch
 from multimodal_registration_tpu.ops.warp import warp_onehot
 from multimodal_registration_tpu.parallel.mesh import make_mesh
 from multimodal_registration_tpu.synth.augment import maybe_zero_borders, random_flips
@@ -99,7 +99,9 @@ def make_loss_fn(model: VxmDense, engine_cfg: ImageEngineConfig, cfg: TrainConfi
         # (train_synthmorph.py:298); composing the fields first gives the same
         # transform with a single interpolation, and lets warp_onehot gather
         # only the 1-channel integer map instead of all L one-hot channels.
-        total_field = jax.vmap(compose_fields)(phi1, flow)
+        # batched compose (NOT vmap(compose_fields)): keeps the chunked
+        # warp's halo cond above the batch so both branches don't execute
+        total_field = compose_fields_batch(phi1, flow)
         pred = jax.vmap(
             lambda l, f: warp_onehot(l, f, engine_cfg.num_labels)
         )(raw1, total_field)

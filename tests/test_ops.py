@@ -256,7 +256,7 @@ class TestChunkedWarp:
     value and gradient, including when the displacement exceeds the halo
     (lax.cond fallback)."""
 
-    def _with_env(self, fn, budget="130000"):
+    def _with_env(self, fn, budget="1500000"):
         import os
         old = {k: os.environ.get(k) for k in ("MMREG_WARP_MODE", "MMREG_GATHER_SRC_BUDGET")}
         os.environ["MMREG_WARP_MODE"] = "packed"
@@ -271,13 +271,13 @@ class TestChunkedWarp:
                     os.environ[k] = v
 
     def test_plan_is_active_at_tiny_budget(self):
-        from multimodal_registration_tpu.ops.warp import _chunk_plan
+        from multimodal_registration_tpu.ops.warp import _chunk_plan, _padded_row_bytes
         plan = self._with_env(lambda: _chunk_plan(32, 12, 10, 2, 4))
         assert plan is not None
         H, n, S = plan
         assert 32 % n == 0 and S == 32 // n + 2 * H and S < 32
-        # the slab respects the byte budget
-        assert S * 12 * 10 * 8 * 2 * 4 <= 130000
+        # the slab respects the PADDED byte budget (rows tile to 128 lanes)
+        assert S * 12 * 10 * _padded_row_bytes(2, 4) <= 1500000
 
     def test_chunked_matches_gather8(self):
         rng = np.random.RandomState(0)
@@ -336,3 +336,95 @@ class TestChunkedWarp:
         flow = jnp.asarray((rng.rand(32, 12, 10, 3).astype(np.float32) - 0.5) * 3.0)
         got = self._with_env(lambda: np.asarray(ops.warp(vol, flow)))
         assert got.shape == (32, 12, 10)
+
+
+class TestWarpBatch:
+    """warp_batch hoists the chunked path's halo cond above the batch —
+    results must still equal per-element gather8 warps on both the chunked
+    branch and the halo-overflow fallback."""
+
+    def _with_env(self, fn, budget="1500000"):
+        import os
+        old = {k: os.environ.get(k) for k in ("MMREG_WARP_MODE", "MMREG_GATHER_SRC_BUDGET")}
+        os.environ["MMREG_WARP_MODE"] = "packed"
+        os.environ["MMREG_GATHER_SRC_BUDGET"] = budget
+        try:
+            return fn()
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    def _ref(self, vol, flow):
+        import os
+        os.environ["MMREG_WARP_MODE"] = "gather8"
+        try:
+            return np.stack(
+                [np.asarray(ops.warp(vol[i], flow[i])) for i in range(vol.shape[0])]
+            )
+        finally:
+            del os.environ["MMREG_WARP_MODE"]
+
+    def test_batch_chunked_branch(self):
+        rng = np.random.RandomState(0)
+        vol = jnp.asarray(rng.rand(2, 32, 12, 10, 2).astype(np.float32))
+        flow = (rng.rand(2, 32, 12, 10, 3).astype(np.float32) - 0.5) * 4.0
+        flow[..., 0] *= 0.5  # within halo → chunked branch
+        flow = jnp.asarray(flow)
+        got = self._with_env(lambda: np.asarray(ops.warp_batch(vol, flow)))
+        np.testing.assert_allclose(got, self._ref(vol, flow), atol=1e-5)
+
+    def test_batch_halo_fallback(self):
+        rng = np.random.RandomState(1)
+        vol = jnp.asarray(rng.rand(2, 32, 12, 10, 1).astype(np.float32))
+        flow = np.zeros((2, 32, 12, 10, 3), np.float32)
+        flow[1, ..., 0] = 40.0  # ONE element past the halo flips the whole batch
+        flow = jnp.asarray(flow)
+        got = self._with_env(lambda: np.asarray(ops.warp_batch(vol, flow)))
+        np.testing.assert_allclose(got, self._ref(vol, flow), atol=1e-5)
+
+    def test_batch_squeeze_and_gradients(self):
+        rng = np.random.RandomState(2)
+        vol = jnp.asarray(rng.rand(2, 32, 12, 10).astype(np.float32))
+        flow = (rng.rand(2, 32, 12, 10, 3).astype(np.float32) - 0.5) * 3.0
+        flow[..., 0] *= 0.6
+        flow = jnp.asarray(flow)
+        w = jnp.asarray(rng.rand(2, 32, 12, 10).astype(np.float32))
+
+        def loss(v, f):
+            return jnp.sum(ops.warp_batch(v, f) * w)
+
+        got = self._with_env(lambda: np.asarray(ops.warp_batch(vol, flow)))
+        assert got.shape == (2, 32, 12, 10)
+        gv, gf = self._with_env(lambda: jax.grad(loss, argnums=(0, 1))(vol, flow))
+
+        import os
+        os.environ["MMREG_WARP_MODE"] = "gather8"
+        try:
+            gv_r, gf_r = jax.grad(
+                lambda v, f: jnp.sum(
+                    jax.vmap(lambda a, b: ops.warp(a, b))(v, f) * w
+                ),
+                argnums=(0, 1),
+            )(vol, flow)
+        finally:
+            del os.environ["MMREG_WARP_MODE"]
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_r), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_r), atol=1e-4)
+
+    def test_compose_fields_batch_matches_unbatched(self):
+        from multimodal_registration_tpu.ops.field import (
+            compose_fields,
+            compose_fields_batch,
+        )
+
+        rng = np.random.RandomState(3)
+        p1 = jnp.asarray((rng.rand(2, 16, 12, 10, 3).astype(np.float32) - 0.5) * 3)
+        p2 = jnp.asarray((rng.rand(2, 16, 12, 10, 3).astype(np.float32) - 0.5) * 3)
+        got = self._with_env(lambda: np.asarray(compose_fields_batch(p1, p2)))
+        ref = np.stack(
+            [np.asarray(compose_fields(p1[i], p2[i])) for i in range(2)]
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-5)
