@@ -67,6 +67,12 @@ class TrainConfig:
     # global-norm gradient clipping; 0 disables (reference has none, but the
     # Dice objective can diverge at lr >= 1e-3 — measured)
     grad_clip_norm: float = 0.0
+    # gather-payload dtype for the composed-field warp in the loss ("" = f32).
+    # bf16 halves the packed-source bytes, which admits a 16-voxel slab halo
+    # at the training shape (f32 only fits halo 8 — generator fields reach
+    # ~10 voxels and would hit the whole-volume fallback gather); field
+    # deviation < 0.03 voxels, same policy as integrate_payload_dtype.
+    compose_payload_dtype: str = "bfloat16"
 
     @classmethod
     def from_json(cls, path: str) -> "TrainConfig":

@@ -100,8 +100,18 @@ def make_loss_fn(model: VxmDense, engine_cfg: ImageEngineConfig, cfg: TrainConfi
         # transform with a single interpolation, and lets warp_onehot gather
         # only the 1-channel integer map instead of all L one-hot channels.
         # batched compose (NOT vmap(compose_fields)): keeps the chunked
-        # warp's halo cond above the batch so both branches don't execute
-        total_field = compose_fields_batch(phi1, flow)
+        # warp's halo cond above the batch so both branches don't execute.
+        # bf16 payload (cfg.compose_payload_dtype) halves gather bytes →
+        # halo 16 fits the slab budget (gen fields reach ~10 voxels; the f32
+        # plan's halo 8 would fall back to the whole-volume gather).
+        if cfg.compose_payload_dtype:
+            cpd = jnp.dtype(cfg.compose_payload_dtype)
+            # gathered phi1 values in cpd; the + flow accumulation is f32
+            total_field = compose_fields_batch(phi1.astype(cpd), flow).astype(
+                jnp.float32
+            )
+        else:
+            total_field = compose_fields_batch(phi1, flow)
         pred = jax.vmap(
             lambda l, f: warp_onehot(l, f, engine_cfg.num_labels)
         )(raw1, total_field)
