@@ -83,6 +83,21 @@ def _corner_weights(w):
     return w8.reshape(*w.shape[:-1], 8)
 
 
+def _corner_onehot(c):
+    """(..., 3) clipped coords -> (..., 8) one-hot of the ROUNDED corner.
+
+    ``jnp.round(c) - floor(c)`` ∈ {0,1} per axis, so nearest-neighbor
+    sampling is a corner SELECT over the same packed 2x2x2 rows the linear
+    path gathers — round-half-to-even semantics preserved exactly. This lets
+    nearest reuse the whole packed/chunked machinery instead of gathering
+    from a (V, C) source whose 128-lane padding (C=1 → 512 B/row) puts it
+    16x over the gather cliff at volume scale.
+    """
+    d = (jnp.round(c) - jnp.floor(c)).astype(jnp.int32)
+    k = d[..., 0] * 4 + d[..., 1] * 2 + d[..., 2]
+    return jax.nn.one_hot(k, 8, dtype=jnp.float32)
+
+
 def _floor_base(c, X, Y, Z):
     """Floor corner index + fractional weight for pre-clipped coords."""
     i0 = jnp.floor(c).astype(jnp.int32)  # in [0, dim-1] since c is clipped
@@ -104,15 +119,15 @@ def _take_rows(packed_2d: jnp.ndarray, lin: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(packed_2d, lin.reshape(-1), axis=0)
 
 
-def _sample_linear_packed(vol, c):
-    """Trilinear sampling via ONE row-gather of pre-packed corner blocks."""
+def _sample_packed(vol, c, w8):
+    """Corner-weighted sampling via ONE row-gather of pre-packed corner
+    blocks; ``w8`` is trilinear weights (linear) or a one-hot (nearest)."""
     X, Y, Z, C = vol.shape
     batch_shape = c.shape[:-1]
-    lin, w = _floor_base(c, X, Y, Z)
+    lin, _ = _floor_base(c, X, Y, Z)
     packed = pack_corners(vol)
     rows = _take_rows(packed, lin)  # (N, 8C)
     blocks = rows.reshape(*batch_shape, 8, C).astype(jnp.float32)
-    w8 = _corner_weights(w)
     out = jnp.einsum(
         "...kc,...k->...c", blocks, w8, precision=jax.lax.Precision.HIGHEST
     )
@@ -162,15 +177,15 @@ def _chunk_plan(X: int, Y: int, Z: int, C: int, itemsize: int):
     return None
 
 
-def _chunked_body(vol, c, H, n_chunks, S):
-    """Chunked packed trilinear warp body. CORRECT ONLY when every
-    ``|flow_x| <= H-1`` — callers must guard (see :func:`_halo_cond`)."""
+def _chunked_body(vol, c, w8, H, n_chunks, S):
+    """Chunked packed corner-weighted warp body (``w8``: trilinear weights or
+    nearest one-hot). CORRECT ONLY when every ``|flow_x| <= H-1`` — callers
+    must guard with the halo cond."""
     X, Y, Z, C = vol.shape
     CX = X // n_chunks
     packed4 = pack_corners(vol).reshape(X, Y, Z, 8 * C)
-    lin, w = _floor_base(c, X, Y, Z)
+    lin, _ = _floor_base(c, X, Y, Z)
     i0x = jnp.floor(c[..., 0]).astype(jnp.int32)
-    w8 = _corner_weights(w)  # (X, Y, Z, 8)
     hi_p = jax.lax.Precision.HIGHEST
 
     def chunk_fn(k):
@@ -188,24 +203,28 @@ def _chunked_body(vol, c, H, n_chunks, S):
         w8c = jax.lax.dynamic_slice(w8, (x0, 0, 0, 0), (CX, Y, Z, 8))
         return jnp.einsum("...kc,...k->...c", blocks, w8c, precision=hi_p)
 
-    out = jax.lax.map(chunk_fn, jnp.arange(n_chunks))
+    # checkpoint: reverse-mode AD through lax.map would otherwise stack every
+    # chunk's gathered f32 blocks as scan residuals — (n_chunks, CX, Y, Z, 8,
+    # C) f32 is ~19 GB at the training shape (OOMs HBM). Recomputing the slab
+    # gather in the backward costs one extra gather pass and ~zero memory.
+    out = jax.lax.map(jax.checkpoint(chunk_fn), jnp.arange(n_chunks))
     return out.reshape(X, Y, Z, C)
 
 
-def _packed_full(vol, c):
+def _packed_full(vol, c, w8):
     """Unchunked whole-volume packed gather (the halo-overflow fallback)."""
     X, Y, Z, C = vol.shape
-    lin, w = _floor_base(c, X, Y, Z)
+    lin, _ = _floor_base(c, X, Y, Z)
     rows = _take_rows(pack_corners(vol), lin)
     blocks = rows.reshape(X, Y, Z, 8, C).astype(jnp.float32)
     return jnp.einsum(
-        "...kc,...k->...c", blocks, _corner_weights(w),
+        "...kc,...k->...c", blocks, w8,
         precision=jax.lax.Precision.HIGHEST,
     )
 
 
-def _warp_linear_packed_chunked(vol, c, flow_x, H, n_chunks, S):
-    """Chunked packed trilinear warp; falls back when |flow_x| > H-1.
+def _warp_packed_chunked(vol, c, w8, flow_x, H, n_chunks, S):
+    """Chunked packed corner-weighted warp; falls back when |flow_x| > H-1.
 
     NOTE: do NOT call under ``jax.vmap`` — vmap turns the guard ``lax.cond``
     into a select that executes BOTH branches, paying the whole-volume
@@ -216,8 +235,8 @@ def _warp_linear_packed_chunked(vol, c, flow_x, H, n_chunks, S):
     in_halo = jnp.max(jnp.abs(flow_x)) <= float(H - 1)
     return jax.lax.cond(
         in_halo,
-        lambda _: _chunked_body(vol, c, H, n_chunks, S),
-        lambda _: _packed_full(vol, c),
+        lambda _: _chunked_body(vol, c, w8, H, n_chunks, S),
+        lambda _: _packed_full(vol, c, w8),
         0,
     ).astype(vol.dtype)
 
@@ -302,8 +321,16 @@ def sample(vol: jnp.ndarray, coords: jnp.ndarray, interp: str = "linear") -> jnp
     c = jnp.clip(coords.astype(cdtype), 0.0, dims)
 
     if interp == "nearest":
-        idx = jnp.round(c).astype(jnp.int32)
-        out = _gather_volume(vol.reshape(-1, C), idx[..., 0], idx[..., 1], idx[..., 2], Y, Z)
+        if _warp_mode() == "packed":
+            # corner-select over the packed rows: a (V, C<=16) flat source
+            # pads to the same 128 lanes as the (V, 8C) packed one, and the
+            # packed formulation shares the linear path's fast row gather
+            out = _sample_packed(vol, c, _corner_onehot(c))
+        else:
+            idx = jnp.round(c).astype(jnp.int32)
+            out = _gather_volume(
+                vol.reshape(-1, C), idx[..., 0], idx[..., 1], idx[..., 2], Y, Z
+            )
     else:
         mode = _warp_mode()
         if mode == "blockgather" and min(X, Y, Z) >= 2:
@@ -311,7 +338,8 @@ def sample(vol: jnp.ndarray, coords: jnp.ndarray, interp: str = "linear") -> jnp
         elif mode == "gather8":
             out = _sample_linear_gather8(vol, c)
         else:
-            out = _sample_linear_packed(vol, c)
+            lin_w = c - jnp.floor(c)
+            out = _sample_packed(vol, c, _corner_weights(lin_w))
     return out[..., 0] if squeeze else out
 
 
@@ -323,7 +351,7 @@ def warp(vol: jnp.ndarray, flow: jnp.ndarray, interp: str = "linear") -> jnp.nda
     """
     grid = identity_grid(flow.shape[:-1], dtype=jnp.float32)
     coords = grid + flow.astype(jnp.float32)
-    if interp == "linear" and _warp_mode() == "packed":
+    if interp in ("linear", "nearest") and _warp_mode() == "packed":
         squeeze = vol.ndim == 3
         v4 = vol[..., None] if squeeze else vol
         X, Y, Z, C = v4.shape
@@ -332,7 +360,12 @@ def warp(vol: jnp.ndarray, flow: jnp.ndarray, interp: str = "linear") -> jnp.nda
             if plan is not None:
                 dims = jnp.array([X - 1, Y - 1, Z - 1], jnp.float32)
                 c = jnp.clip(coords, 0.0, dims)
-                out = _warp_linear_packed_chunked(v4, c, flow[..., 0], *plan)
+                w8 = (
+                    _corner_weights(c - jnp.floor(c))
+                    if interp == "linear"
+                    else _corner_onehot(c)
+                )
+                out = _warp_packed_chunked(v4, c, w8, flow[..., 0], *plan)
                 return out[..., 0] if squeeze else out
     return sample(vol, coords, interp=interp)
 
@@ -353,7 +386,7 @@ def warp_batch(vol, flow, interp="linear"):
     v5 = vol[..., None] if squeeze else vol
     B, X, Y, Z, C = v5.shape
     use_chunked = (
-        interp == "linear"
+        interp in ("linear", "nearest")
         and _warp_mode() == "packed"
         and (X, Y, Z) == tuple(flow.shape[1:4])
     )
@@ -366,11 +399,14 @@ def warp_batch(vol, flow, interp="linear"):
     grid = identity_grid((X, Y, Z), dtype=jnp.float32)
     dims = jnp.array([X - 1, Y - 1, Z - 1], jnp.float32)
     c = jnp.clip(grid[None] + flow.astype(jnp.float32), 0.0, dims)
+    w8 = _corner_weights(c - jnp.floor(c)) if interp == "linear" else _corner_onehot(c)
     in_halo = jnp.max(jnp.abs(flow[..., 0])) <= float(H - 1)
     out = jax.lax.cond(
         in_halo,
-        lambda _: jax.vmap(lambda v, cc: _chunked_body(v, cc, H, n_chunks, S))(v5, c),
-        lambda _: jax.vmap(_packed_full)(v5, c),
+        lambda _: jax.vmap(
+            lambda v, cc, ww: _chunked_body(v, cc, ww, H, n_chunks, S)
+        )(v5, c, w8),
+        lambda _: jax.vmap(_packed_full)(v5, c, w8),
         0,
     ).astype(v5.dtype)
     return out[..., 0] if squeeze else out
@@ -406,5 +442,13 @@ def warp_onehot(labels: jnp.ndarray, flow: jnp.ndarray, num_classes: int) -> jnp
     ).reshape(X * Y * Z, 8)
     rows = _take_rows(packed, lin).reshape(X, Y, Z, 8).astype(jnp.int32)
     w8 = _corner_weights(w)  # (X, Y, Z, 8)
-    onehot = jax.nn.one_hot(rows, num_classes, dtype=jnp.float32)  # (X,Y,Z,8,L)
-    return jnp.einsum("...kl,...k->...l", onehot, w8)
+
+    # checkpoint: the (X,Y,Z,8,L) f32 one-hot would otherwise be saved as the
+    # einsum's backward residual (~4 GB at the training shape); recomputing it
+    # from the int rows in the backward costs almost nothing.
+    @jax.checkpoint
+    def mix(rows_, w8_):
+        onehot = jax.nn.one_hot(rows_, num_classes, dtype=jnp.float32)
+        return jnp.einsum("...kl,...k->...l", onehot, w8_)
+
+    return mix(rows, w8)

@@ -105,11 +105,16 @@ def _labels_to_image_impl(
         else:
             svf = draw_perlin(k_svf, (*shape, 3), [cfg.vel_res], max_std=cfg.vel_std)
             phi = integrate_svf(svf, cfg.int_steps, payload_dtype=pd)
-        lab = warp(label_map.astype(jnp.float32), phi, interp="nearest")
+        # int8 payload when labels fit: the packed nearest-warp gather source
+        # is then (V, 8) int8 — 128 B/padded row instead of 512 B, keeping it
+        # under the gather cliff at training shapes (ops/warp.py layout note)
+        lab_dtype = jnp.int8 if L <= 127 else jnp.float32
+        lab_idx = warp(
+            label_map.astype(lab_dtype), phi, interp="nearest"
+        ).astype(jnp.int32)
     else:
         phi = jnp.zeros((*shape, 3), jnp.float32)
-        lab = label_map.astype(jnp.float32)
-    lab_idx = lab.astype(jnp.int32)
+        lab_idx = label_map.astype(jnp.int32)
 
     # 3. per-label Gaussian intensities
     means = jax.random.uniform(k_mean, (L,), minval=cfg.mean_min, maxval=cfg.mean_max)

@@ -338,6 +338,65 @@ class TestChunkedWarp:
         assert got.shape == (32, 12, 10)
 
 
+class TestNearestPacked:
+    """Nearest sampling via packed corner-select must match the flat-gather
+    formulation exactly, including round-half-to-even at .5 coordinates and
+    the int8 label payload."""
+
+    def _mode(self, mode, fn, *args):
+        import os
+        old = os.environ.get("MMREG_WARP_MODE")
+        os.environ["MMREG_WARP_MODE"] = mode
+        try:
+            return fn(*args)
+        finally:
+            if old is None:
+                del os.environ["MMREG_WARP_MODE"]
+            else:
+                os.environ["MMREG_WARP_MODE"] = old
+
+    def test_nearest_matches_flat_gather(self):
+        rng = np.random.RandomState(0)
+        vol = jnp.asarray(rng.rand(7, 6, 5, 2).astype(np.float32))
+        flow = jnp.asarray((rng.rand(7, 6, 5, 3).astype(np.float32) - 0.5) * 4)
+        got = self._mode("packed", ops.warp, vol, flow, "nearest")
+        ref = self._mode("gather8", ops.warp, vol, flow, "nearest")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_round_half_to_even_parity(self):
+        # exact .5 offsets: jnp.round is half-to-even, and the packed
+        # corner-select must reproduce it bit-for-bit
+        vol = jnp.asarray(np.arange(6 * 4 * 4, dtype=np.float32).reshape(6, 4, 4, 1))
+        flow = jnp.full((6, 4, 4, 3), 0.5, jnp.float32)
+        got = self._mode("packed", ops.warp, vol, flow, "nearest")
+        ref = self._mode("gather8", ops.warp, vol, flow, "nearest")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_int8_label_payload(self):
+        rng = np.random.RandomState(1)
+        labels = jnp.asarray(rng.randint(0, 26, size=(8, 6, 5)).astype(np.int8))
+        flow = jnp.asarray((rng.rand(8, 6, 5, 3).astype(np.float32) - 0.5) * 3)
+        got = self._mode("packed", ops.warp, labels, flow, "nearest")
+        ref = self._mode(
+            "gather8", ops.warp, labels.astype(jnp.float32), flow, "nearest"
+        )
+        assert got.dtype == jnp.int8
+        np.testing.assert_array_equal(
+            np.asarray(got).astype(np.float32), np.asarray(ref)
+        )
+
+    def test_batched_nearest(self):
+        rng = np.random.RandomState(2)
+        vol = jnp.asarray(rng.rand(2, 8, 6, 5).astype(np.float32))
+        flow = jnp.asarray((rng.rand(2, 8, 6, 5, 3).astype(np.float32) - 0.5) * 3)
+        got = self._mode("packed", ops.warp_batch, vol, flow, "nearest")
+        ref = np.stack([
+            np.asarray(self._mode("gather8", ops.warp, vol[i], flow[i], "nearest"))
+            for i in range(2)
+        ])
+        np.testing.assert_array_equal(np.asarray(got), ref)
+
+
 class TestWarpBatch:
     """warp_batch hoists the chunked path's halo cond above the batch —
     results must still equal per-element gather8 warps on both the chunked
