@@ -412,6 +412,53 @@ def warp_batch(vol, flow, interp="linear"):
     return out[..., 0] if squeeze else out
 
 
+def _packed_label_rows(labels: jnp.ndarray, flow: jnp.ndarray, num_classes: int):
+    """Shared int-corner gather: pack the 8 corner labels per voxel (int8 when
+    they fit) and gather one row per output voxel. Returns ``(rows int32
+    (X,Y,Z,8), c)`` with ``c`` the clipped absolute coords."""
+    X, Y, Z = labels.shape
+    grid = identity_grid((X, Y, Z), dtype=jnp.float32)
+    c = jnp.clip(grid + flow.astype(jnp.float32), 0.0,
+                 jnp.array([X - 1, Y - 1, Z - 1], jnp.float32))
+    lin, _ = _floor_base(c, X, Y, Z)
+    pack_dtype = jnp.int8 if num_classes <= 127 else jnp.int32
+    lp = jnp.pad(labels.astype(pack_dtype), ((0, 1), (0, 1), (0, 1)), mode="edge")
+    packed = jnp.stack(
+        [lp[dx:dx + X, dy:dy + Y, dz:dz + Z]
+         for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+        axis=-1,
+    ).reshape(X * Y * Z, 8)
+    rows = _take_rows(packed, lin).reshape(X, Y, Z, 8).astype(jnp.int32)
+    return rows, c
+
+
+def warp_labels_soft_hard(labels: jnp.ndarray, flow: jnp.ndarray, num_classes: int):
+    """Warp an integer label map, returning BOTH the soft (trilinearly
+    interpolated one-hot — the SynthMorph training target, see
+    :func:`warp_onehot`) and hard (nearest-neighbor) results from ONE packed
+    corner gather. The nearest map is a one-hot corner SELECT over the same
+    gathered rows the soft map mixes — exact ``jnp.round`` semantics — so the
+    synthesis engine pays a single V-row gather instead of two (and the
+    select path has no chunk/cond, making it safe under ``vmap``).
+
+    Args: ``labels (X,Y,Z)`` int, ``flow (X,Y,Z,3)``.
+    Returns: ``(soft (X,Y,Z,L) float32, hard (X,Y,Z) int32)``. Either output
+    is dead-code-eliminated by XLA when unused.
+    """
+    rows, c = _packed_label_rows(labels, flow, num_classes)
+    w8 = _corner_weights(c - jnp.floor(c))
+    sel = _corner_onehot(c)
+    # labels <= 2**24 are exact in f32, and the one-hot select picks one term
+    hard = jnp.einsum("...k,...k->...", rows.astype(jnp.float32), sel).astype(jnp.int32)
+
+    @jax.checkpoint
+    def mix(rows_, w8_):
+        onehot = jax.nn.one_hot(rows_, num_classes, dtype=jnp.float32)
+        return jnp.einsum("...kl,...k->...l", onehot, w8_)
+
+    return mix(rows, w8), hard
+
+
 def warp_onehot(labels: jnp.ndarray, flow: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     """Trilinear warp of ``one_hot(labels)`` without gathering one-hot data.
 
@@ -424,31 +471,10 @@ def warp_onehot(labels: jnp.ndarray, flow: jnp.ndarray, num_classes: int) -> jnp
     the interpolation weights exactly as in the dense formulation (the
     one-hot corner values are constants).
 
+    The (X,Y,Z,8,L) f32 one-hot is ``jax.checkpoint``-ed out of the backward
+    residuals (it would be ~4 GB at the training shape).
+
     Args: ``labels (X,Y,Z)`` int, ``flow (X,Y,Z,3)`` → ``(X,Y,Z,L)`` float32.
     """
-    X, Y, Z = labels.shape
-    grid = identity_grid((X, Y, Z), dtype=jnp.float32)
-    c = jnp.clip(grid + flow.astype(jnp.float32), 0.0,
-                 jnp.array([X - 1, Y - 1, Z - 1], jnp.float32))
-    lin, w = _floor_base(c, X, Y, Z)
-    # int8 pack when labels fit: keeps the gather source (V, 8) under the
-    # ~100 MB fast-staging budget at training shapes (gather_probe.py)
-    pack_dtype = jnp.int8 if num_classes <= 127 else jnp.int32
-    lp = jnp.pad(labels.astype(pack_dtype), ((0, 1), (0, 1), (0, 1)), mode="edge")
-    packed = jnp.stack(
-        [lp[dx:dx + X, dy:dy + Y, dz:dz + Z]
-         for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
-        axis=-1,
-    ).reshape(X * Y * Z, 8)
-    rows = _take_rows(packed, lin).reshape(X, Y, Z, 8).astype(jnp.int32)
-    w8 = _corner_weights(w)  # (X, Y, Z, 8)
-
-    # checkpoint: the (X,Y,Z,8,L) f32 one-hot would otherwise be saved as the
-    # einsum's backward residual (~4 GB at the training shape); recomputing it
-    # from the int rows in the backward costs almost nothing.
-    @jax.checkpoint
-    def mix(rows_, w8_):
-        onehot = jax.nn.one_hot(rows_, num_classes, dtype=jnp.float32)
-        return jnp.einsum("...kl,...k->...l", onehot, w8_)
-
-    return mix(rows, w8)
+    soft, _ = warp_labels_soft_hard(labels, flow, num_classes)
+    return soft

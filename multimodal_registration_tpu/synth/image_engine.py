@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from multimodal_registration_tpu.ops.integrate import integrate_svf
 from multimodal_registration_tpu.ops.resize import rescale_field
-from multimodal_registration_tpu.ops.warp import warp, warp_onehot
+from multimodal_registration_tpu.ops.warp import warp_labels_soft_hard
 from multimodal_registration_tpu.synth.perlin import draw_perlin
 
 
@@ -105,16 +105,15 @@ def _labels_to_image_impl(
         else:
             svf = draw_perlin(k_svf, (*shape, 3), [cfg.vel_res], max_std=cfg.vel_std)
             phi = integrate_svf(svf, cfg.int_steps, payload_dtype=pd)
-        # int8 payload when labels fit: the packed nearest-warp gather source
-        # is then (V, 8) int8 — 128 B/padded row instead of 512 B, keeping it
-        # under the gather cliff at training shapes (ops/warp.py layout note)
-        lab_dtype = jnp.int8 if L <= 127 else jnp.float32
-        lab_idx = warp(
-            label_map.astype(lab_dtype), phi, interp="nearest"
-        ).astype(jnp.int32)
+        # ONE packed int8 corner gather serves both the soft map (trilinear
+        # one-hot mix — the training target) and the hard nearest-warped
+        # labels (for the intensity lookup); either output is DCE'd when
+        # unused. No chunk/cond inside → safe under the trainer's vmap.
+        soft, lab_idx = warp_labels_soft_hard(label_map.astype(jnp.int32), phi, L)
     else:
         phi = jnp.zeros((*shape, 3), jnp.float32)
         lab_idx = label_map.astype(jnp.int32)
+        soft = None
 
     # 3. per-label Gaussian intensities
     means = jax.random.uniform(k_mean, (L,), minval=cfg.mean_min, maxval=cfg.mean_max)
@@ -151,9 +150,7 @@ def _labels_to_image_impl(
     # (nearest-then-one-hot) maps the Dice gradient only exists in a razor-thin
     # boundary band and training provably stalls at zero flow (PERF.md
     # "training correctness" note). warp_onehot gathers only the integer map.
-    if cfg.vel_std > 0:
-        soft = warp_onehot(label_map.astype(jnp.int32), phi, L)
-    else:
+    if soft is None:
         soft = jax.nn.one_hot(lab_idx, L, dtype=jnp.float32)
     return img, soft, phi
 

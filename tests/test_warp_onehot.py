@@ -35,3 +35,24 @@ def test_gradient_matches_dense():
     g1 = jax.grad(loss_dense)(flow)
     g2 = jax.grad(loss_light)(flow)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-5)
+
+
+def test_soft_hard_shared_gather():
+    """warp_labels_soft_hard: soft must equal warp_onehot, hard must equal
+    the nearest-neighbor warp of the raw labels (round-half-to-even)."""
+    from multimodal_registration_tpu.ops.warp import (
+        warp,
+        warp_labels_soft_hard,
+    )
+
+    rng = np.random.RandomState(0)
+    labels = jnp.asarray(rng.randint(0, 9, size=(7, 6, 8)).astype(np.int32))
+    flow = jnp.asarray((rng.rand(7, 6, 8, 3).astype(np.float32) - 0.5) * 4)
+    soft, hard = warp_labels_soft_hard(labels, flow, 9)
+    np.testing.assert_allclose(
+        np.asarray(soft), np.asarray(warp_onehot(labels, flow, 9)), atol=1e-6
+    )
+    ref_hard = warp(labels.astype(jnp.float32), flow, interp="nearest")
+    np.testing.assert_array_equal(
+        np.asarray(hard), np.asarray(ref_hard).astype(np.int32)
+    )
