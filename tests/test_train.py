@@ -117,3 +117,21 @@ def test_dp_step_equals_single_device_step(tmp_path):
     assert len(flat1) == len(flat8)
     for a, b in zip(flat1, flat8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-5)
+
+
+def test_compose_payload_dtype_deviation(tmp_path):
+    """bf16 gather payload for the loss's composed-field warp must stay
+    within ~0.05 voxels of the f32 path (the policy threshold measured for
+    integrate_payload_dtype in PERF.md)."""
+    import jax.numpy as jnp
+
+    from multimodal_registration_tpu.ops.field import compose_fields_batch
+
+    rng = np.random.default_rng(0)
+    phi1 = jnp.asarray(rng.normal(scale=3.0, size=(1, 16, 16, 16, 3)).astype(np.float32))
+    phi2 = jnp.asarray(rng.normal(scale=2.0, size=(1, 16, 16, 16, 3)).astype(np.float32))
+    f32 = np.asarray(compose_fields_batch(phi1, phi2))
+    b16 = np.asarray(
+        compose_fields_batch(phi1.astype(jnp.bfloat16), phi2).astype(jnp.float32)
+    )
+    assert np.max(np.abs(f32 - b16)) < 0.05
