@@ -64,7 +64,8 @@ def main(steps: int = 6000, warm: str | None = None):
     ))
     trainer = Trainer(cfg)
     params, opt_state = trainer.init_state()
-    if warm and os.path.exists(warm):
+    warm_loaded = bool(warm and os.path.exists(warm))
+    if warm_loaded:
         params, _, _ = trainer.load_checkpoint(warm)
         opt_state = jax.device_put(trainer.optimizer.init(params), trainer._repl)
         print(f"warm-started from {warm}", flush=True)
@@ -111,16 +112,12 @@ def main(steps: int = 6000, warm: str | None = None):
         return (round(float(np.mean(nmis)), 4), round(float(np.mean(dices)), 4),
                 round(float(np.mean(flows)), 3))
 
-    base_nmi = round(float(np.mean([
-        normalized_mutual_information(fx, mov) for mov, _, fx, _ in pairs])), 4)
-    base_dice = round(float(np.mean([
-        mean_label_dice(fx_lab, mov_lab, NUM_LABELS)
-        for _, mov_lab, _, fx_lab in pairs])), 4)
-
     # resuming from our own checkpoint continues the committed trajectory
-    # (crash-safe across round boundaries) instead of restarting the log
+    # (crash-safe across round boundaries) instead of restarting the log.
+    # Resume REQUIRES the checkpoint to have actually loaded — continuing a
+    # trained trajectory with fresh random params would corrupt the record.
     step_base = 0
-    if warm == CKPT and os.path.exists(RESULTS):
+    if warm_loaded and warm == CKPT and os.path.exists(RESULTS):
         with open(RESULTS) as f:
             log = json.load(f)
         log["warm_start"] = warm
@@ -128,23 +125,28 @@ def main(steps: int = 6000, warm: str | None = None):
             step_base = int(log["trajectory"][-1]["step"])
         print(f"resuming trajectory at step {step_base}", flush=True)
     else:
+        base_nmi = round(float(np.mean([
+            normalized_mutual_information(fx, mov) for mov, _, fx, _ in pairs])), 4)
+        base_dice = round(float(np.mean([
+            mean_label_dice(fx_lab, mov_lab, NUM_LABELS)
+            for _, mov_lab, _, fx_lab in pairs])), 4)
         log = {"workload": f"{SHAPE} / {NUM_LABELS} labels",
                "warm_start": warm or "",
                "identity": {"nmi": base_nmi, "dice": base_dice},
                "trajectory": []}
 
-    def snapshot(step, loss, spс):
+    def snapshot(step, loss, sps):
         nmi, dice, mf = evaluate(params)
         log["trajectory"].append({
             "step": step_base + step, "loss": round(loss, 4), "nmi": nmi,
-            "dice": dice, "mean_abs_flow_vox": mf, "sec_per_step": round(spс, 3)})
+            "dice": dice, "mean_abs_flow_vox": mf, "sec_per_step": round(sps, 3)})
         with open(RESULTS, "w") as f:
             json.dump(log, f, indent=1)
         trainer.save_checkpoint(os.path.join(HERE, "_learn_ref_ckpt"), params,
-                                epoch=step)
+                                epoch=step_base + step)
         os.replace(os.path.join(HERE, "_learn_ref_ckpt.npz"), CKPT)
         print(f"step {step}: loss {loss:.4f} dice {dice} nmi {nmi} "
-              f"flow {mf} ({spс:.2f}s/step)", flush=True)
+              f"flow {mf} ({sps:.2f}s/step)", flush=True)
 
     t0 = time.time()
     if step_base == 0:

@@ -71,7 +71,9 @@ def timed(fn, *args, iters=8):
     float(jnp.sum(out))
     t0 = time.time()
     for _ in range(iters):
-        out = fn(*args) * 0.999 + out * 0.001 if False else fn(*args)
+        # NOTE: independent un-chained dispatches (unlike chain_time in
+        # vmap_warp_probe.py) — fine for this probe's coarse comparison
+        out = fn(*args)
     float(jnp.sum(out))
     return (time.time() - t0) / iters * 1000
 

@@ -422,12 +422,7 @@ def _packed_label_rows(labels: jnp.ndarray, flow: jnp.ndarray, num_classes: int)
                  jnp.array([X - 1, Y - 1, Z - 1], jnp.float32))
     lin, _ = _floor_base(c, X, Y, Z)
     pack_dtype = jnp.int8 if num_classes <= 127 else jnp.int32
-    lp = jnp.pad(labels.astype(pack_dtype), ((0, 1), (0, 1), (0, 1)), mode="edge")
-    packed = jnp.stack(
-        [lp[dx:dx + X, dy:dy + Y, dz:dz + Z]
-         for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
-        axis=-1,
-    ).reshape(X * Y * Z, 8)
+    packed = pack_corners(labels.astype(pack_dtype)[..., None])  # (V, 8)
     rows = _take_rows(packed, lin).reshape(X, Y, Z, 8).astype(jnp.int32)
     return rows, c
 
@@ -448,13 +443,17 @@ def warp_labels_soft_hard(labels: jnp.ndarray, flow: jnp.ndarray, num_classes: i
     rows, c = _packed_label_rows(labels, flow, num_classes)
     w8 = _corner_weights(c - jnp.floor(c))
     sel = _corner_onehot(c)
-    # labels <= 2**24 are exact in f32, and the one-hot select picks one term
-    hard = jnp.einsum("...k,...k->...", rows.astype(jnp.float32), sel).astype(jnp.int32)
+    hi_p = jax.lax.Precision.HIGHEST
+    # labels <= 2**24 are exact in f32 at HIGHEST precision (default-precision
+    # dot_general would truncate values > 256 through bf16 passes)
+    hard = jnp.einsum(
+        "...k,...k->...", rows.astype(jnp.float32), sel, precision=hi_p
+    ).astype(jnp.int32)
 
     @jax.checkpoint
     def mix(rows_, w8_):
         onehot = jax.nn.one_hot(rows_, num_classes, dtype=jnp.float32)
-        return jnp.einsum("...kl,...k->...l", onehot, w8_)
+        return jnp.einsum("...kl,...k->...l", onehot, w8_, precision=hi_p)
 
     return mix(rows, w8), hard
 

@@ -287,11 +287,15 @@ class TestChunkedWarp:
         flow = jnp.asarray(flow)
         got = self._with_env(lambda: np.asarray(ops.warp(vol, flow)))
         import os
+        old = os.environ.get("MMREG_WARP_MODE")
         os.environ["MMREG_WARP_MODE"] = "gather8"
         try:
             ref = np.asarray(ops.warp(vol, flow))
         finally:
-            del os.environ["MMREG_WARP_MODE"]
+            if old is None:
+                del os.environ["MMREG_WARP_MODE"]
+            else:
+                os.environ["MMREG_WARP_MODE"] = old
         np.testing.assert_allclose(got, ref, atol=1e-5)
 
     def test_halo_exceeded_falls_back_correctly(self):
@@ -302,11 +306,15 @@ class TestChunkedWarp:
         flow = jnp.asarray(flow)
         got = self._with_env(lambda: np.asarray(ops.warp(vol, flow)))
         import os
+        old = os.environ.get("MMREG_WARP_MODE")
         os.environ["MMREG_WARP_MODE"] = "gather8"
         try:
             ref = np.asarray(ops.warp(vol, flow))
         finally:
-            del os.environ["MMREG_WARP_MODE"]
+            if old is None:
+                del os.environ["MMREG_WARP_MODE"]
+            else:
+                os.environ["MMREG_WARP_MODE"] = old
         np.testing.assert_allclose(got, ref, atol=1e-5)
 
     def test_chunked_gradients_match(self):
@@ -322,11 +330,15 @@ class TestChunkedWarp:
 
         gv_c, gf_c = self._with_env(lambda: jax.grad(loss, argnums=(0, 1))(vol, flow))
         import os
+        old = os.environ.get("MMREG_WARP_MODE")
         os.environ["MMREG_WARP_MODE"] = "gather8"
         try:
             gv_r, gf_r = jax.grad(loss, argnums=(0, 1))(vol, flow)
         finally:
-            del os.environ["MMREG_WARP_MODE"]
+            if old is None:
+                del os.environ["MMREG_WARP_MODE"]
+            else:
+                os.environ["MMREG_WARP_MODE"] = old
         np.testing.assert_allclose(np.asarray(gv_c), np.asarray(gv_r), atol=1e-4)
         np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_r), atol=1e-4)
 
@@ -418,13 +430,17 @@ class TestWarpBatch:
 
     def _ref(self, vol, flow):
         import os
+        old = os.environ.get("MMREG_WARP_MODE")
         os.environ["MMREG_WARP_MODE"] = "gather8"
         try:
             return np.stack(
                 [np.asarray(ops.warp(vol[i], flow[i])) for i in range(vol.shape[0])]
             )
         finally:
-            del os.environ["MMREG_WARP_MODE"]
+            if old is None:
+                del os.environ["MMREG_WARP_MODE"]
+            else:
+                os.environ["MMREG_WARP_MODE"] = old
 
     def test_batch_chunked_branch(self):
         rng = np.random.RandomState(0)
@@ -460,6 +476,7 @@ class TestWarpBatch:
         gv, gf = self._with_env(lambda: jax.grad(loss, argnums=(0, 1))(vol, flow))
 
         import os
+        old = os.environ.get("MMREG_WARP_MODE")
         os.environ["MMREG_WARP_MODE"] = "gather8"
         try:
             gv_r, gf_r = jax.grad(
@@ -469,7 +486,10 @@ class TestWarpBatch:
                 argnums=(0, 1),
             )(vol, flow)
         finally:
-            del os.environ["MMREG_WARP_MODE"]
+            if old is None:
+                del os.environ["MMREG_WARP_MODE"]
+            else:
+                os.environ["MMREG_WARP_MODE"] = old
         np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_r), atol=1e-4)
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_r), atol=1e-4)
 
