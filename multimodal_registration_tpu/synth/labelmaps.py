@@ -40,12 +40,26 @@ def generate_label_map(
     if ndim not in (2, 3):
         raise ValueError(f"in_shape must be 2-D or 3-D, got {in_shape}")
     shape3 = in_shape if ndim == 3 else (*in_shape, 1)
-    keys = jax.random.split(key, num_labels)
+    k_imstd, k_defstd, k_ch = jax.random.split(key, 3)
+    # reference semantics (ne.utils.augment.draw_perlin over an (X,Y,Z,L)
+    # tensor): ONE std per scale SHARED across all label channels — drawn
+    # here once and threaded through the per-channel lax.map
+    im_stds = jax.random.uniform(
+        k_imstd, (len(tuple(im_scales)),), minval=0.0, maxval=im_max_std
+    )
+    def_stds = jax.random.uniform(
+        k_defstd, (len(tuple(def_scales)),), minval=0.0, maxval=def_max_std
+    )
+    keys = jax.random.split(k_ch, num_labels)
 
     def channel(k):
         k_im, k_def = jax.random.split(k)
-        im = draw_perlin(k_im, (*shape3, 1), im_scales, max_std=im_max_std)[..., 0]
-        wf = draw_perlin(k_def, (*shape3, ndim), def_scales, max_std=def_max_std)
+        im = draw_perlin(
+            k_im, (*shape3, 1), im_scales, max_std=im_max_std, stds=im_stds
+        )[..., 0]
+        wf = draw_perlin(
+            k_def, (*shape3, ndim), def_scales, max_std=def_max_std, stds=def_stds
+        )
         if ndim == 2:  # zero z-component: displacement stays in-plane
             wf = jnp.concatenate([wf, jnp.zeros((*shape3, 1), wf.dtype)], axis=-1)
         return warp(im, wf, interp="linear")

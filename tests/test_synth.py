@@ -175,3 +175,44 @@ class TestLabelMaps2D:
 
         with pytest.raises(ValueError):
             generate_label_map(jax.random.PRNGKey(0), (16,), 4)
+
+
+def test_perlin_fixed_stds():
+    """stds= must override the internal per-scale std draw (zero std at one
+    scale removes that scale's contribution entirely)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodal_registration_tpu.synth.perlin import draw_perlin
+
+    key = jax.random.PRNGKey(0)
+    z = np.asarray(draw_perlin(key, (8, 8, 8, 1), [2, 4], stds=[0.0, 0.0]))
+    np.testing.assert_allclose(z, 0.0)
+    one_scale = np.asarray(draw_perlin(key, (8, 8, 8, 1), [2, 4], stds=[1.0, 0.0]))
+    assert np.abs(one_scale).max() > 0
+    import pytest
+
+    with pytest.raises(ValueError, match="one std per scale"):
+        draw_perlin(key, (8, 8, 8, 1), [2, 4], stds=[1.0])
+
+
+def test_label_map_shared_scale_stds():
+    """Label-map generation must share the per-scale Perlin stds across all
+    label channels (reference draws one (X,Y,Z,L) tensor per scale)."""
+    import jax
+    import numpy as np
+
+    from multimodal_registration_tpu.synth.labelmaps import generate_label_map
+
+    # smoke: still produces valid maps after the shared-std refactor
+    # (scales sized for the tiny test volume — defaults are for 160+^3)
+    lab = np.asarray(
+        generate_label_map(
+            jax.random.PRNGKey(3), (12, 12, 12), 5,
+            im_scales=(2, 4), def_scales=(2, 4),
+        )
+    )
+    assert lab.shape == (12, 12, 12)
+    assert lab.max() < 5
+    assert len(np.unique(lab)) > 1
