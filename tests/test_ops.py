@@ -493,6 +493,37 @@ class TestWarpBatch:
         np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_r), atol=1e-4)
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_r), atol=1e-4)
 
+
+
+    def test_batched_nearest_chunked_and_fallback(self):
+        # tiny budget → chunked plan; one batch element past the halo flips
+        # the hoisted cond to the whole-volume fallback. Both must be exact.
+        rng = np.random.RandomState(4)
+        vol = jnp.asarray(rng.rand(2, 32, 12, 10, 1).astype(np.float32))
+        for overflow in (False, True):
+            flow = (rng.rand(2, 32, 12, 10, 3).astype(np.float32) - 0.5) * 3
+            flow[..., 0] *= 0.5
+            if overflow:
+                flow[0, 3, 4, 5, 0] = 30.0
+            flow_j = jnp.asarray(flow)
+            got = self._with_env(
+                lambda: np.asarray(ops.warp_batch(vol, flow_j, "nearest"))
+            )
+            import os
+            old = os.environ.get("MMREG_WARP_MODE")
+            os.environ["MMREG_WARP_MODE"] = "gather8"
+            try:
+                ref = np.stack([
+                    np.asarray(ops.warp(vol[i], flow_j[i], interp="nearest"))
+                    for i in range(2)
+                ])
+            finally:
+                if old is None:
+                    del os.environ["MMREG_WARP_MODE"]
+                else:
+                    os.environ["MMREG_WARP_MODE"] = old
+            np.testing.assert_array_equal(got, ref)
+
     def test_compose_fields_batch_matches_unbatched(self):
         from multimodal_registration_tpu.ops.field import (
             compose_fields,
