@@ -137,14 +137,20 @@ def main(steps: int = 6000, warm: str | None = None):
 
     def snapshot(step, loss, sps):
         nmi, dice, mf = evaluate(params)
-        log["trajectory"].append({
-            "step": step_base + step, "loss": round(loss, 4), "nmi": nmi,
-            "dice": dice, "mean_abs_flow_vox": mf, "sec_per_step": round(sps, 3)})
-        with open(RESULTS, "w") as f:
-            json.dump(log, f, indent=1)
+        # Checkpoint BEFORE the results file: a crash between the two writes
+        # then leaves RESULTS one eval behind the checkpoint, and the resume
+        # path (step_base from RESULTS) re-trains that leg instead of
+        # attributing older params to a newer step (advisor round-2 finding).
         trainer.save_checkpoint(os.path.join(HERE, "_learn_ref_ckpt"), params,
                                 epoch=step_base + step)
         os.replace(os.path.join(HERE, "_learn_ref_ckpt.npz"), CKPT)
+        log["trajectory"].append({
+            "step": step_base + step,
+            # step-0 has no loss yet; use None (valid strict JSON), not NaN.
+            "loss": None if loss != loss else round(loss, 4), "nmi": nmi,
+            "dice": dice, "mean_abs_flow_vox": mf, "sec_per_step": round(sps, 3)})
+        with open(RESULTS, "w") as f:
+            json.dump(log, f, indent=1)
         print(f"step {step}: loss {loss:.4f} dice {dice} nmi {nmi} "
               f"flow {mf} ({sps:.2f}s/step)", flush=True)
 
