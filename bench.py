@@ -9,8 +9,8 @@ enc [64]x4 / dec [64]x6, int_steps 5, svf/int res 2, bfloat16 compute) at
 
 ``vs_baseline`` compares against a TF-CPU measurement of the same forward
 computation (the reference is TF on CPU and publishes no numbers — see
-BASELINE.md). The TF number is measured once at 96³, scaled by FLOPs (×8) to
-192³, and cached in ``.bench_baseline.json``.
+BASELINE.md). The TF number is measured directly at 192³ (one timed iteration
+after warmup; see ``get_baseline``) and cached in ``.bench_baseline.json``.
 """
 
 from __future__ import annotations

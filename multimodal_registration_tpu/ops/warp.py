@@ -300,6 +300,24 @@ def _sample_linear_gather8(vol, c):
     return out
 
 
+def _nearest_use_packed(vol: jnp.ndarray) -> bool:
+    """Whether nearest sampling should take the packed corner-select path.
+
+    The packed one-hot select runs the values through an f32 einsum — exact
+    only for |v| <= 2**24, so 32/64-bit integer volumes (which may exceed it)
+    keep the flat round-and-gather path, which is exact for any int32.
+    And it pays off only while the (V, 8C) packed row pads to the same 128
+    lanes as the (V, C) flat row (C <= 16); past that the packed source is up
+    to 8x larger than the flat one (advisor round-2 findings).
+    """
+    C = vol.shape[-1]
+    wide_int = (
+        jnp.issubdtype(vol.dtype, jnp.integer)
+        and jnp.dtype(vol.dtype).itemsize >= 4
+    )
+    return 8 * C <= 128 and not wide_int
+
+
 def sample(vol: jnp.ndarray, coords: jnp.ndarray, interp: str = "linear") -> jnp.ndarray:
     """Sample ``vol`` at float voxel ``coords``.
 
@@ -310,6 +328,11 @@ def sample(vol: jnp.ndarray, coords: jnp.ndarray, interp: str = "linear") -> jnp
 
     Returns:
       ``(..., C)``-shaped samples (channel axis kept iff input had one).
+
+    Nearest sampling of float volumes (and of small-int volumes on the packed
+    TPU path) mixes values through an f32 one-hot einsum — exact for
+    magnitudes <= 2**24; int32/int64 volumes automatically take the flat
+    gather path, which is exact for any value.
     """
     squeeze = vol.ndim == 3
     if squeeze:
@@ -321,7 +344,7 @@ def sample(vol: jnp.ndarray, coords: jnp.ndarray, interp: str = "linear") -> jnp
     c = jnp.clip(coords.astype(cdtype), 0.0, dims)
 
     if interp == "nearest":
-        if _warp_mode() == "packed":
+        if _warp_mode() == "packed" and _nearest_use_packed(vol):
             # corner-select over the packed rows: a (V, C<=16) flat source
             # pads to the same 128 lanes as the (V, 8C) packed one, and the
             # packed formulation shares the linear path's fast row gather
@@ -355,6 +378,8 @@ def warp(vol: jnp.ndarray, flow: jnp.ndarray, interp: str = "linear") -> jnp.nda
         squeeze = vol.ndim == 3
         v4 = vol[..., None] if squeeze else vol
         X, Y, Z, C = v4.shape
+        if interp == "nearest" and not _nearest_use_packed(v4):
+            return sample(vol, coords, interp=interp)
         if (X, Y, Z) == tuple(flow.shape[:-1]):
             plan = _chunk_plan(X, Y, Z, C, jnp.dtype(v4.dtype).itemsize)
             if plan is not None:
@@ -389,6 +414,7 @@ def warp_batch(vol, flow, interp="linear"):
         interp in ("linear", "nearest")
         and _warp_mode() == "packed"
         and (X, Y, Z) == tuple(flow.shape[1:4])
+        and (interp != "nearest" or _nearest_use_packed(v5))
     )
     plan = _chunk_plan(X, Y, Z, C, jnp.dtype(v5.dtype).itemsize) if use_chunked else None
     if plan is None:

@@ -408,6 +408,34 @@ class TestNearestPacked:
         ])
         np.testing.assert_array_equal(np.asarray(got), ref)
 
+    def test_int32_values_above_2pow24_exact(self):
+        # int32 volumes may exceed 2**24, where the f32 one-hot einsum of the
+        # packed path loses exactness — such dtypes must route to the flat
+        # gather and come back bit-exact (advisor round-2 finding).
+        rng = np.random.RandomState(3)
+        vals = (1 << 24) + rng.randint(0, 1000, size=(6, 5, 4)).astype(np.int64)
+        vol = jnp.asarray((vals * 7 + 3).astype(np.int32))
+        flow = jnp.asarray((rng.rand(6, 5, 4, 3).astype(np.float32) - 0.5) * 3)
+        got = np.asarray(self._mode("packed", ops.warp, vol, flow, "nearest"))
+        assert got.dtype == np.int32
+        idx = np.clip(np.round(
+            np.stack(np.meshgrid(*[np.arange(s) for s in (6, 5, 4)],
+                                 indexing="ij"), -1) + np.asarray(flow)),
+            0, np.array([5, 4, 3]))
+        ref = np.asarray(vol)[tuple(idx.astype(np.int64)[..., i] for i in range(3))]
+        np.testing.assert_array_equal(got, ref)
+
+    def test_wide_channel_nearest_matches(self):
+        # C > 16 makes the packed row wider than one 128-lane tile; the
+        # nearest path then uses the flat gather — results must still match
+        # the gather8 reference exactly.
+        rng = np.random.RandomState(4)
+        vol = jnp.asarray(rng.rand(6, 5, 4, 20).astype(np.float32))
+        flow = jnp.asarray((rng.rand(6, 5, 4, 3).astype(np.float32) - 0.5) * 3)
+        got = self._mode("packed", ops.warp, vol, flow, "nearest")
+        ref = self._mode("gather8", ops.warp, vol, flow, "nearest")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
 
 class TestWarpBatch:
     """warp_batch hoists the chunked path's halo cond above the batch —
