@@ -24,13 +24,30 @@ enable_persistent_cache()
 
 from multimodal_registration_tpu.infer.cascade import register_two_steps
 from multimodal_registration_tpu.infer.config import InferenceConfig
-from multimodal_registration_tpu.infer.register import Registrar, load_params_any, register
+from multimodal_registration_tpu.infer.register import load_params_any, register
+from multimodal_registration_tpu.infer.sharded import make_registrar
 from multimodal_registration_tpu.utils import io as vio
 from multimodal_registration_tpu.utils import nifti
 
 
 def _bool_flag(s: str) -> bool:
     return str(s).lower() in ("1", "true", "yes")
+
+
+def _add_sharding_flags(p: argparse.ArgumentParser):
+    p.add_argument("--space", type=int, default=None,
+                   help="shard the volume X-axis over N chips (multi-chip "
+                        "inference; overrides the config's sharding.space)")
+    p.add_argument("--data-shard", type=int, default=None,
+                   help="shard the batch axis over N chips (overrides the "
+                        "config's sharding.data)")
+
+
+def _apply_sharding_flags(cfg: InferenceConfig, args):
+    if getattr(args, "space", None):
+        cfg.sharding = {**cfg.sharding, "space": args.space}
+    if getattr(args, "data_shard", None):
+        cfg.sharding = {**cfg.sharding, "data": args.data_shard}
 
 
 def _maybe_one_cpu(flag: str):
@@ -58,6 +75,7 @@ def pair_registration(argv=None):
     p.add_argument("--resample-interp", default=None,
                    help="override resample interpolation (linear/nearest/spline)")
     p.add_argument("--one-cpu-tf", default="True")
+    _add_sharding_flags(p)
     args = p.parse_args(argv)
     _maybe_one_cpu(args.one_cpu_tf)
 
@@ -66,8 +84,9 @@ def pair_registration(argv=None):
         cfg.warp_interpolation = args.warp_interp
     if args.resample_interp:
         cfg.resample_interpolation = args.resample_interp
+    _apply_sharding_flags(cfg, args)
     params = load_params_any(args.model_path, cfg)
-    reg = Registrar(cfg, params)
+    reg = make_registrar(cfg, params)
     return register(
         cfg,
         reg,
@@ -89,12 +108,14 @@ def bids_registration(argv=None):
     p.add_argument("--mov-img-path", required=True)
     p.add_argument("--fx-img-contrast", default="T1w")
     p.add_argument("--one-cpu-tf", default="True")
+    _add_sharding_flags(p)
     args = p.parse_args(argv)
     _maybe_one_cpu(args.one_cpu_tf)
 
     cfg = InferenceConfig.from_json(args.config_path)
+    _apply_sharding_flags(cfg, args)
     params = load_params_any(args.model_path, cfg)
-    reg = Registrar(cfg, params)
+    reg = make_registrar(cfg, params)
     return register(
         cfg, reg, args.fx_img_path, args.mov_img_path,
         fx_contrast=args.fx_img_contrast, naming="bids",
@@ -110,12 +131,14 @@ def bids_two_steps(argv=None):
     p.add_argument("--mov-img-path", required=True)
     p.add_argument("--fx-img-contrast", default="T1w")
     p.add_argument("--one-cpu-tf", default="True")
+    _add_sharding_flags(p)
     args = p.parse_args(argv)
     _maybe_one_cpu(args.one_cpu_tf)
 
     cfg = InferenceConfig.from_json(args.config_path)
-    reg1 = Registrar(cfg, load_params_any(args.model1_path, cfg))
-    reg2 = Registrar(cfg, load_params_any(args.model2_path, cfg))
+    _apply_sharding_flags(cfg, args)
+    reg1 = make_registrar(cfg, load_params_any(args.model1_path, cfg))
+    reg2 = make_registrar(cfg, load_params_any(args.model2_path, cfg))
     return register_two_steps(
         cfg, reg1, reg2, args.fx_img_path, args.mov_img_path,
         fx_contrast=args.fx_img_contrast,

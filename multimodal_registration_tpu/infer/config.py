@@ -27,6 +27,11 @@ class InferenceConfig:
     # (int(ceil(x // 16)) * 16 floors instead of ceiling, bids_registration.py:158);
     # `ceil16` is the "intended" behavior.
     round_mode: str = "floor16"
+    # Multi-chip inference layout: {"data": N, "space": M} — batch axis over
+    # `data`, volume X-axis over `space` (the TPU-native upgrade of the
+    # reference's subvolume tiling, config_inference.json:2-4 / SURVEY §2.3).
+    # Empty dict = single-chip. Values must multiply to <= available devices.
+    sharding: dict = field(default_factory=dict)
 
     @classmethod
     def from_json(cls, path: str) -> "InferenceConfig":
@@ -39,7 +44,11 @@ class InferenceConfig:
         unknown = set(data) - known
         if unknown:
             raise ValueError(f"unknown inference config keys: {sorted(unknown)}")
-        return cls(**data)
+        cfg = cls(**data)
+        bad = set(cfg.sharding) - {"data", "space"}
+        if bad:
+            raise ValueError(f"unknown sharding keys: {sorted(bad)} (want data/space)")
+        return cfg
 
     def round16(self, x: int) -> int:
         if self.round_mode == "ceil16":

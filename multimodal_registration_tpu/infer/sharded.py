@@ -11,6 +11,8 @@ the single-chip result.
 
 from __future__ import annotations
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,11 +23,19 @@ from multimodal_registration_tpu.models.vxm_dense import VxmConfig, VxmDense
 
 
 class ShardedRegistrar:
-    """Registration forward over a ``(data, space)`` mesh."""
+    """Registration forward over a ``(data, space)`` mesh.
+
+    Accepts any batch size (padded up to a multiple of the ``data`` axis
+    internally — pad entries are zeros and are cropped from the outputs).
+    Volumes whose X dim is not divisible by ``space * 16`` fall back to the
+    single-device :class:`~multimodal_registration_tpu.infer.register.Registrar`
+    path with a warning (spatial sharding needs whole conv strides per shard).
+    """
 
     def __init__(self, cfg: InferenceConfig, params, mesh: Mesh):
         self.cfg = cfg
         self.mesh = mesh
+        self._fallback = None
         vxm_cfg = VxmConfig(
             enc=tuple(cfg.enc),
             dec=tuple(cfg.dec),
@@ -50,15 +60,34 @@ class ShardedRegistrar:
             },
         )
 
-    def predict(self, mov: np.ndarray, fx: np.ndarray):
-        """(B, X, Y, Z) arrays; X must be divisible by the ``space`` axis size
-        times 16 (model stride)."""
+    def predict(self, mov: np.ndarray, fx: np.ndarray, strict: bool = False):
+        """(B, X, Y, Z) arrays → (moved, warp_at_int_res).
+
+        B is padded up to a multiple of the ``data`` axis; X not divisible by
+        ``space * 16`` falls back to the unsharded registrar (raises instead
+        when ``strict``)."""
         space = self.mesh.shape["space"]
+        data = self.mesh.shape["data"]
         if mov.shape[1] % (space * 16):
-            raise ValueError(
+            msg = (
                 f"volume X dim {mov.shape[1]} not divisible by space axis "
                 f"({space}) x 16"
             )
+            if strict:
+                raise ValueError(msg)
+            warnings.warn(msg + " — falling back to single-device forward")
+            if self._fallback is None:
+                from multimodal_registration_tpu.infer.register import Registrar
+
+                self._fallback = Registrar(self.cfg, self.params)
+            return self._fallback.predict(mov, fx)
+
+        B = mov.shape[0]
+        pad = (-B) % data
+        if pad:
+            z = np.zeros((pad, *mov.shape[1:]), np.float32)
+            mov = np.concatenate([np.asarray(mov, np.float32), z])
+            fx = np.concatenate([np.asarray(fx, np.float32), z])
         mov_j = jax.device_put(
             jnp.asarray(mov, jnp.float32)[..., None], self._vol_sharding
         )
@@ -66,4 +95,31 @@ class ShardedRegistrar:
             jnp.asarray(fx, jnp.float32)[..., None], self._vol_sharding
         )
         out = self._apply(self.params, mov_j, fx_j)
-        return np.asarray(out["moved"][..., 0]), np.asarray(out["warp"])
+        return (np.asarray(out["moved"][..., 0])[:B], np.asarray(out["warp"])[:B])
+
+
+def make_registrar(cfg: InferenceConfig, params, max_batch: int = 4):
+    """Build the registrar the inference config asks for.
+
+    ``cfg.sharding`` = {} (or {"data": 1, "space": 1}) → the single-device
+    :class:`Registrar`; anything larger → a :class:`ShardedRegistrar` over a
+    ``(data, space)`` mesh (the user-facing multi-chip path — the reference's
+    subvolume-mode analogue, `config_inference.json:2-4`). Raises if the
+    requested layout needs more devices than exist.
+    """
+    from multimodal_registration_tpu.infer.register import Registrar
+
+    data = int(cfg.sharding.get("data", 1) or 1)
+    space = int(cfg.sharding.get("space", 1) or 1)
+    if data * space <= 1:
+        return Registrar(cfg, params, max_batch=max_batch)
+    n_avail = len(jax.devices())
+    if data * space > n_avail:
+        raise ValueError(
+            f"sharding {{data: {data}, space: {space}}} needs {data * space} "
+            f"devices, have {n_avail}"
+        )
+    from multimodal_registration_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data * space, space=space)
+    return ShardedRegistrar(cfg, params, mesh)

@@ -22,7 +22,8 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 
 from multimodal_registration_tpu.infer.config import InferenceConfig
-from multimodal_registration_tpu.infer.register import Registrar, load_params_any
+from multimodal_registration_tpu.infer.register import load_params_any
+from multimodal_registration_tpu.infer.sharded import make_registrar
 from multimodal_registration_tpu.pipeline.bids import discover_subjects
 from multimodal_registration_tpu.pipeline.qc import QCReport
 from multimodal_registration_tpu.pipeline.runner import PipelineConfig, run_subject
@@ -76,8 +77,10 @@ def run_batch(
     for p in (path_processed, path_qc, path_log):
         os.makedirs(p, exist_ok=True)
 
-    registrar = Registrar(cfg, load_params_any(model_path, cfg))
-    registrar2 = Registrar(cfg, load_params_any(model2_path, cfg)) if model2_path else None
+    # honors cfg.sharding ({data, space}) — multi-chip registration in the
+    # batch pipeline rides the same factory as the CLIs
+    registrar = make_registrar(cfg, load_params_any(model_path, cfg))
+    registrar2 = make_registrar(cfg, load_params_any(model2_path, cfg)) if model2_path else None
     segmenter = segmenter or default_segmenter()
     qc = QCReport(path_qc)
 

@@ -75,4 +75,108 @@ def test_sharded_registrar_rejects_bad_x():
     mesh = make_mesh(8, space=2)
     sharded = ShardedRegistrar(cfg, params, mesh)
     with pytest.raises(ValueError, match="not divisible"):
-        sharded.predict(np.zeros((4, 16, 16, 16)), np.zeros((4, 16, 16, 16)))
+        sharded.predict(np.zeros((4, 16, 16, 16)), np.zeros((4, 16, 16, 16)),
+                        strict=True)
+
+
+def test_sharded_registrar_bad_x_falls_back():
+    """Non-strict bad-X predict warns and returns the single-device result."""
+    cfg = InferenceConfig.from_dict(CFG)
+    params = params_template(
+        VxmConfig(enc=tuple(cfg.enc), dec=tuple(cfg.dec), compute_dtype="float32")
+    )
+    rng = np.random.default_rng(1)
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(rng.normal(scale=0.05, size=x.shape), x.dtype), params
+    )
+    sharded = ShardedRegistrar(cfg, params, make_mesh(8, space=2))
+    mov = rng.random((1, 16, 16, 16)).astype(np.float32)
+    fx = rng.random((1, 16, 16, 16)).astype(np.float32)
+    with pytest.warns(UserWarning, match="falling back"):
+        m1, w1 = sharded.predict(mov, fx)
+    m2, w2 = Registrar(cfg, params).predict(mov, fx)
+    np.testing.assert_allclose(m1, m2, atol=1e-6)
+    np.testing.assert_allclose(w1, w2, atol=1e-6)
+
+
+def test_sharded_registrar_batch_padding():
+    """B not divisible by the data axis is padded internally and cropped."""
+    cfg = InferenceConfig.from_dict(CFG)
+    params = params_template(
+        VxmConfig(enc=tuple(cfg.enc), dec=tuple(cfg.dec), compute_dtype="float32")
+    )
+    rng = np.random.default_rng(2)
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(rng.normal(scale=0.05, size=x.shape), x.dtype), params
+    )
+    sharded = ShardedRegistrar(cfg, params, make_mesh(8, space=2))  # data=4
+    mov = rng.random((3, 32, 16, 16)).astype(np.float32)
+    fx = rng.random((3, 32, 16, 16)).astype(np.float32)
+    m1, w1 = sharded.predict(mov, fx)
+    assert m1.shape[0] == 3 and w1.shape[0] == 3
+    m2, w2 = Registrar(cfg, params).predict(mov, fx)
+    np.testing.assert_allclose(m1, m2, atol=2e-4)
+    np.testing.assert_allclose(w1, w2, atol=2e-4)
+
+
+def test_make_registrar_factory():
+    from multimodal_registration_tpu.infer.sharded import make_registrar
+
+    cfg = InferenceConfig.from_dict(CFG)
+    params = params_template(
+        VxmConfig(enc=tuple(cfg.enc), dec=tuple(cfg.dec), compute_dtype="float32")
+    )
+    assert isinstance(make_registrar(cfg, params), Registrar)
+    cfg.sharding = {"space": 2}
+    reg = make_registrar(cfg, params)
+    assert isinstance(reg, ShardedRegistrar)
+    assert reg.mesh.shape == {"data": 1, "space": 2}
+    cfg.sharding = {"data": 4, "space": 2}
+    assert make_registrar(cfg, params).mesh.shape == {"data": 4, "space": 2}
+    cfg.sharding = {"data": 16, "space": 2}
+    with pytest.raises(ValueError, match="devices"):
+        make_registrar(cfg, params)
+
+
+def test_cli_space_sharded_outputs_identical(tmp_path, monkeypatch):
+    """VERDICT r2 item 4: the CLI driven with sharding space>1 must produce
+    NIfTI outputs identical to the single-chip run."""
+    import json
+
+    from multimodal_registration_tpu.infer.cli import pair_registration
+    from multimodal_registration_tpu.models.vxm_dense import params_template as pt
+    from multimodal_registration_tpu.train.trainer import _flatten_params
+    from multimodal_registration_tpu.utils import nifti
+
+    rng = np.random.default_rng(0)
+    shape = (64, 32, 32)  # X divisible by space(2) * 16
+    aff = np.eye(4)
+    fx_p, mov_p = str(tmp_path / "fx.nii.gz"), str(tmp_path / "mov.nii.gz")
+    nifti.save(nifti.NiftiImage(rng.random(shape).astype(np.float32), aff), fx_p)
+    nifti.save(nifti.NiftiImage(rng.random(shape).astype(np.float32), aff), mov_p)
+
+    params = pt(VxmConfig(enc=(4,) * 4, dec=(4,) * 6, compute_dtype="float32"))
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(rng.normal(scale=0.05, size=x.shape), x.dtype), params
+    )
+    wpath = str(tmp_path / "w.npz")
+    np.savez(wpath, **_flatten_params(params))
+
+    outs = {}
+    for tag, extra in (("single", {}), ("sharded", {"sharding": {"space": 2}})):
+        cfg_p = str(tmp_path / f"cfg_{tag}.json")
+        json.dump({**CFG, **extra}, open(cfg_p, "w"))
+        res_dir = str(tmp_path / f"res_{tag}")
+        monkeypatch.chdir(tmp_path)
+        pair_registration([
+            "--model-path", wpath, "--config-path", cfg_p,
+            "--fx-img-path", fx_p, "--mov-img-path", mov_p,
+            "--fx-img-contrast", "T2w", "--res-dir", res_dir,
+            "--one-cpu-tf", "False",
+        ])
+        outs[tag] = (
+            nifti.load(f"{res_dir}/warped_im.nii.gz").get_fdata(),
+            nifti.load(f"{res_dir}/deform_field.nii.gz").get_fdata(),
+        )
+    np.testing.assert_allclose(outs["sharded"][0], outs["single"][0], atol=2e-4)
+    np.testing.assert_allclose(outs["sharded"][1], outs["single"][1], atol=2e-4)
