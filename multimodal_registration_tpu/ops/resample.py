@@ -9,13 +9,20 @@ Parity targets:
   * ``nilearn.image.resample_img`` with an identical affine — a pure pad/crop
     from the origin (`bids_registration.py:162-167`).
 
-'nn' and 'linear' run on device through :mod:`ops.warp`; 'spline' (order 3)
-falls back to ``scipy.ndimage`` on host, as XLA has no cubic-spline prefilter.
+'nn' and 'linear' run on device through :mod:`ops.warp`. 'spline' (order 3)
+runs on device whenever the voxel map is a scaled permutation (axis-aligned —
+every real 1 mm/grid resample in the pipeline): the cubic B-spline prefilter
+and kernel evaluation are both LINEAR per axis, so the exact 1-D scipy
+operator is extracted once per (length, scale, offset, mode) — scipy run on
+basis vectors, cached — and applied as three MXU matmuls (the banded-matrix
+formulation; round-2 VERDICT item 6). Obliquely rotated maps (rare) keep the
+host ``scipy.ndimage`` fallback, as does ``MMREG_SPLINE_DEVICE=0``.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -26,6 +33,82 @@ from multimodal_registration_tpu.ops.warp import sample as device_sample
 from multimodal_registration_tpu.utils import nifti
 
 _ORDER = {"nn": 0, "nearest": 0, "linear": 1, "spline": 3}
+
+
+def _scaled_permutation(R: np.ndarray, tol: float = 1e-9):
+    """If 3x3 ``R`` has exactly one nonzero per row forming a permutation,
+    return (sigma, scales) with ``in_i = scales[i] * out[sigma[i]]``; else None."""
+    sigma, scales = [], []
+    for i in range(3):
+        nz = np.flatnonzero(np.abs(R[i]) > tol)
+        if len(nz) != 1:
+            return None
+        sigma.append(int(nz[0]))
+        scales.append(float(R[i, nz[0]]))
+    if sorted(sigma) != [0, 1, 2]:
+        return None
+    return sigma, scales
+
+
+@functools.lru_cache(maxsize=64)
+def _spline_axis_operator(n_in: int, n_out: int, scale: float, offset: float,
+                          mode: str) -> np.ndarray:
+    """Exact scipy 1-D cubic-spline resampling operator W (n_out, n_in):
+    ``out[o] = sum_j W[o, j] * v[j]`` where out is scipy's
+    ``map_coordinates(v, scale*o + offset, order=3, mode=mode, cval=0)``.
+
+    Derived by running scipy on the basis vectors — prefilter boundary
+    conditions and kernel edge handling are inherited bit-for-bit instead of
+    re-derived (the known-treacherous part of spline resampling)."""
+    from scipy.ndimage import map_coordinates
+
+    pos = (scale * np.arange(n_out, dtype=np.float64) + offset)[None]
+    W = np.empty((n_out, n_in), np.float64)
+    e = np.zeros(n_in, np.float64)
+    for j in range(n_in):
+        e[j] = 1.0
+        W[:, j] = map_coordinates(e, pos, order=3, mode=mode, cval=0.0)
+        e[j] = 0.0
+    return W
+
+
+@functools.partial(jax.jit, static_argnames=("axes_order",))
+def _apply_axis_operators_jit(volj, W0, W1, W2, axes_order):
+    hi = jax.lax.Precision.HIGHEST
+    out = jnp.einsum("ai,ijk->ajk", W0, volj, precision=hi)
+    out = jnp.einsum("bj,ajk->abk", W1, out, precision=hi)
+    out = jnp.einsum("ck,abk->abc", W2, out, precision=hi)
+    return jnp.transpose(out, axes_order)
+
+
+def _device_spline_resample(vol, M, out_shape, mode, cval):
+    """Device path for order-3 resampling when the map is a scaled
+    permutation; returns None when inapplicable (oblique rotation, cval != 0,
+    disabled by env)."""
+    if cval != 0.0 or os.environ.get("MMREG_SPLINE_DEVICE", "1") == "0":
+        return None
+    sp = _scaled_permutation(np.asarray(M[:3, :3], np.float64))
+    if sp is None:
+        return None
+    sigma, scales = sp
+    out_shape = tuple(int(s) for s in out_shape)
+    Ws = [
+        jnp.asarray(
+            _spline_axis_operator(
+                int(vol.shape[i]), out_shape[sigma[i]], scales[i],
+                float(M[i, 3]), mode,
+            ),
+            jnp.float32,
+        )
+        for i in range(3)
+    ]
+    # einsum result axes are input-axis-ordered with lengths out_shape[sigma];
+    # output axis q must take result axis i with sigma[i] == q
+    axes_order = tuple(sigma.index(q) for q in range(3))
+    out = _apply_axis_operators_jit(
+        jnp.asarray(np.asarray(vol, np.float32)), *Ws, axes_order
+    )
+    return np.asarray(out, np.float64)
 
 
 def affine_resample(
@@ -42,6 +125,9 @@ def affine_resample(
     M = np.linalg.inv(in_affine) @ out_affine
     if order in (0, 1):
         return _device_affine_resample(vol, M, out_shape, order, mode, cval)
+    out = _device_spline_resample(vol, M, out_shape, mode, cval)
+    if out is not None:
+        return out
     from scipy.ndimage import affine_transform
 
     return affine_transform(
