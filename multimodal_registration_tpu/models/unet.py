@@ -23,26 +23,54 @@ implicit GEMMs; XLA fuses the LeakyReLU.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 
+def _fuse_first_conv_enabled() -> bool:
+    """Fused first-conv+pool Pallas kernel opt-in (MMREG_FUSED_FIRST_CONV=1).
+
+    Only meaningful on TPU backends; kept opt-in until hardware-validated per
+    backend (Mosaic lowerings vary — PERF.md probe history)."""
+    return os.environ.get("MMREG_FUSED_FIRST_CONV", "0") == "1"
+
+
 class ConvBlock(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
+    # fuse conv+LeakyReLU+2x-maxpool into one Pallas kernel and return the
+    # POOLED tensor — valid only when the full-res activation has no other
+    # consumer (see Unet below). Param tree is unchanged ("conv/kernel").
+    fused_pool: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(
+        conv = nn.Conv(
             self.features,
             kernel_size=(3, 3, 3),
             padding="SAME",
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="conv",
-        )(x)
+        )
+        if self.fused_pool:
+            from multimodal_registration_tpu.ops.pallas.conv_pool import (
+                conv3_lrelu_pool,
+            )
+
+            # materialize identical params without running the full conv
+            _ = conv(x[:, :1, :1, :1, :])
+            k = conv.variables["params"]["kernel"]
+            b = conv.variables["params"]["bias"]
+            pooled = [
+                conv3_lrelu_pool(x[i], k, b, out_dtype=self.dtype)
+                for i in range(x.shape[0])
+            ]
+            return jnp.stack(pooled)
+        x = conv(x)
         return nn.leaky_relu(x, negative_slope=0.2)
 
 
@@ -63,8 +91,25 @@ class Unet(nn.Module):
     def __call__(self, x):
         x = x.astype(self.dtype)
         nb_levels = len(self.enc_nf) + 1
+        # enc_0's FULL-RES activation feeds only the max-pool when
+        # nb_upsample_skips >= 1 (the decoder stops before popping its skip)
+        # — the fused Pallas kernel then writes only the pooled tensor,
+        # skipping the 906 MB full-res round-trip (PERF.md conv attribution).
+        import jax
+
+        fuse0 = (
+            _fuse_first_conv_enabled()
+            and self.nb_upsample_skips >= 1
+            and all(d % 16 == 0 for d in x.shape[1:4])
+            and jax.default_backend() != "cpu"  # Mosaic needs a TPU backend
+        )
         skips = [x]
         for i, f in enumerate(self.enc_nf):
+            if i == 0 and fuse0:
+                x = ConvBlock(f, dtype=self.dtype, fused_pool=True,
+                              name=f"enc_{i}")(x)
+                skips.append(None)  # never popped; keeps pop order aligned
+                continue
             x = ConvBlock(f, dtype=self.dtype, name=f"enc_{i}")(x)
             skips.append(x)
             x = nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2))
