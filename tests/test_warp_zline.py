@@ -1,0 +1,131 @@
+"""Z-line row-reduction warp: exact equivalence with the reference-semantics
+gather8 warp on the fast path, and correct fallback when guards fail."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import importlib
+
+warp_mod = importlib.import_module("multimodal_registration_tpu.ops.warp")
+from multimodal_registration_tpu.ops import warp_zline as wz
+
+
+def _ref(vol, flow):
+    """gather8 flat formulation — reference semantics baseline."""
+    import os
+    old = os.environ.get("MMREG_WARP_MODE")
+    os.environ["MMREG_WARP_MODE"] = "gather8"
+    try:
+        return np.asarray(warp_mod.warp(vol, flow, interp="linear"))
+    finally:
+        if old is None:
+            del os.environ["MMREG_WARP_MODE"]
+        else:
+            os.environ["MMREG_WARP_MODE"] = old
+
+
+def _smooth_flow(shape, scale, seed, mag):
+    """Smooth random flow: upsampled coarse noise (guards should hold)."""
+    rng = np.random.RandomState(seed)
+    coarse = rng.randn(*[max(2, s // scale) for s in shape], 3) * mag
+    out = np.zeros((*shape, 3), np.float32)
+    for c in range(3):
+        from scipy.ndimage import zoom
+
+        factors = [s / cs for s, cs in zip(shape, coarse.shape[:3])]
+        out[..., c] = zoom(coarse[..., c], factors, order=1)[
+            tuple(slice(0, s) for s in shape)]
+    return out
+
+
+class TestZlineWarp:
+    def test_fast_path_engages_and_matches(self):
+        shape = (16, 16, 32)
+        flow = jnp.asarray(_smooth_flow(shape, 16, 0, 0.3))
+        vol = jnp.asarray(np.random.RandomState(1).rand(*shape, 2).astype(np.float32))
+        plan = wz.zline_plan(shape[2], 2, 4)
+        assert plan is not None
+        g, zb = plan
+        grid = wz.identity_grid(shape, dtype=jnp.float32)
+        c = jnp.clip(grid + flow, 0.0, jnp.asarray([d - 1 for d in shape], jnp.float32))
+        assert bool(wz._guards_ok(c, g, zb, *shape)), "fast-path guard should hold"
+        got = np.asarray(wz.warp_zline(vol, flow))
+        np.testing.assert_allclose(got, _ref(vol, flow), atol=1e-5)
+
+    def test_body_matches_exactly_on_larger_flows(self):
+        # moderately large but smooth flows (several voxels) stay on the fast
+        # path and must still be exact
+        shape = (8, 8, 32)
+        flow = jnp.asarray(3.0 + _smooth_flow(shape, 32, 2, 0.3))
+        vol = jnp.asarray(np.random.RandomState(3).rand(*shape).astype(np.float32))
+        got = np.asarray(wz.warp_zline(vol, flow))
+        np.testing.assert_allclose(got, _ref(vol, flow), atol=1e-5)
+
+    def test_edge_clamping(self):
+        # constant flow pushing everything past the edges: floor-constant, so
+        # the fast path engages; clamped corners must match the reference
+        shape = (8, 8, 16)
+        vol = jnp.asarray(np.random.RandomState(4).rand(*shape).astype(np.float32))
+        for vec in ((5.3, -4.2, 9.7), (-20.0, 0.4, -0.6)):
+            flow = jnp.broadcast_to(jnp.asarray(vec, jnp.float32), (*shape, 3))
+            got = np.asarray(wz.warp_zline(vol, flow))
+            np.testing.assert_allclose(got, _ref(vol, flow), atol=1e-5,
+                                       err_msg=f"vec={vec}")
+
+    def test_rough_flow_falls_back(self):
+        # high-frequency flow violates the per-line floor guards -> cond
+        # must take the exact fallback
+        shape = (8, 8, 16)
+        rng = np.random.RandomState(5)
+        flow = jnp.asarray((rng.rand(*shape, 3) - 0.5).astype(np.float32) * 8)
+        vol = jnp.asarray(rng.rand(*shape).astype(np.float32))
+        plan = wz.zline_plan(shape[2], 1, 4)
+        g, zb = plan
+        grid = wz.identity_grid(shape, dtype=jnp.float32)
+        c = jnp.clip(grid + flow, 0.0, jnp.asarray([d - 1 for d in shape], jnp.float32))
+        assert not bool(wz._guards_ok(c, g, zb, *shape))
+        got = np.asarray(wz.warp_zline(vol, flow))
+        np.testing.assert_allclose(got, _ref(vol, flow), atol=1e-5)
+
+    def test_small_z_returns_fallback(self):
+        shape = (6, 6, 10)  # z not blockable -> plan None -> fallback
+        assert wz.zline_plan(10, 1, 4) is None
+        rng = np.random.RandomState(6)
+        vol = jnp.asarray(rng.rand(*shape).astype(np.float32))
+        flow = jnp.asarray((rng.rand(*shape, 3) - 0.5).astype(np.float32) * 2)
+        got = np.asarray(wz.warp_zline(vol, flow))
+        np.testing.assert_allclose(got, _ref(vol, flow), atol=1e-5)
+
+    def test_env_disable(self, monkeypatch):
+        monkeypatch.setenv("MMREG_ZLINE_WARP", "0")
+        assert wz.zline_plan(64, 1, 4) is None
+
+    def test_bf16_payload_tolerance(self):
+        shape = (8, 8, 32)
+        flow = jnp.asarray(_smooth_flow(shape, 8, 7, 1.0))
+        vol = jnp.asarray(np.random.RandomState(8).rand(*shape).astype(np.float32))
+        got = np.asarray(wz.warp_zline(vol, flow, payload_dtype=jnp.bfloat16))
+        np.testing.assert_allclose(got, _ref(vol, flow), atol=5e-3)
+
+    def test_grad_flows_through_fast_path(self):
+        shape = (8, 8, 16)
+        vol = jnp.asarray(np.random.RandomState(9).rand(*shape).astype(np.float32))
+        flow = jnp.asarray(_smooth_flow(shape, 8, 10, 0.5))
+
+        def loss_z(f):
+            return jnp.sum(wz.warp_zline(vol, f) ** 2)
+
+        def loss_ref(f):
+            import os
+            os.environ["MMREG_WARP_MODE"] = "gather8"
+            try:
+                return jnp.sum(warp_mod.warp(vol, f, interp="linear") ** 2)
+            finally:
+                del os.environ["MMREG_WARP_MODE"]
+
+        gz = np.asarray(jax.grad(loss_z)(flow))
+        gr = np.asarray(jax.grad(loss_ref)(flow))
+        np.testing.assert_allclose(gz, gr, atol=1e-4)
