@@ -26,6 +26,7 @@ Weights are spatial-shape-agnostic (pure conv), so the same params apply at any
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 
 import flax.linen as nn
@@ -120,12 +121,25 @@ class VxmDense(nn.Module):
             f = int_shape[0] / flow.shape[1]
             flow = jax.vmap(lambda v: rescale_field(v, f, out_shape=int_shape))(flow)
 
-        # diffeomorphic integration (scaling and squaring)
+        # diffeomorphic integration (scaling and squaring); with
+        # MMREG_ZLINE_MODEL=1 the squaring warps take the z-line row-reduction
+        # path (flows are svf/2^k — small and smooth — with per-step guarded
+        # fallback; see ops/warp_zline.py)
+        use_zline = os.environ.get("MMREG_ZLINE_MODEL", "0") == "1"
         if cfg.int_steps > 0:
             pd = jnp.dtype(cfg.integrate_payload_dtype) if cfg.integrate_payload_dtype else None
-            pos_flow = jax.vmap(
-                lambda v: integrate_svf(v, cfg.int_steps, payload_dtype=pd)
-            )(flow)
+            if use_zline:
+                from multimodal_registration_tpu.ops.warp_zline import (
+                    integrate_svf_zline_batch,
+                )
+
+                pos_flow = integrate_svf_zline_batch(
+                    flow, cfg.int_steps, payload_dtype=pd
+                )
+            else:
+                pos_flow = jax.vmap(
+                    lambda v: integrate_svf(v, cfg.int_steps, payload_dtype=pd)
+                )(flow)
         else:
             pos_flow = flow
 
@@ -140,7 +154,12 @@ class VxmDense(nn.Module):
 
         # warp_batch (not vmap(warp)): keeps the chunked path's halo cond a
         # real conditional — vmap would turn it into a both-branches select
-        moved = warp_batch(moving.astype(jnp.float32), flow_fullres, interp="linear")
+        if use_zline:
+            from multimodal_registration_tpu.ops.warp_zline import warp_zline_batch
+
+            moved = warp_zline_batch(moving.astype(jnp.float32), flow_fullres)
+        else:
+            moved = warp_batch(moving.astype(jnp.float32), flow_fullres, interp="linear")
         return {
             "moved": moved,
             "warp": pos_flow,  # at int-res: the reference predict() output #2

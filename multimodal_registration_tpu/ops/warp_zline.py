@@ -177,3 +177,61 @@ def warp_zline(vol: jnp.ndarray, flow: jnp.ndarray, fallback=None,
         0,
     )
     return out[..., 0] if squeeze else out
+
+
+def warp_zline_batch(vol, flow, payload_dtype=None):
+    """Batched z-line warp: ``vol (B,X,Y,Z[,C])``, ``flow (B,X,Y,Z,3)``.
+
+    NOT ``vmap(warp_zline)`` — vmap would turn the guard ``lax.cond`` into a
+    both-branches select (the measured trap of the chunked warp, PERF.md).
+    The guard is reduced over the whole batch and the cond sits ABOVE the
+    vmap; the fallback is :func:`ops.warp.warp_batch` (which hoists its own
+    halo cond the same way).
+    """
+    from multimodal_registration_tpu.ops.warp import warp_batch
+
+    squeeze = vol.ndim == 4
+    v5 = vol[..., None] if squeeze else vol
+    B, X, Y, Z, C = v5.shape
+    plan = zline_plan(Z, C, jnp.dtype(v5.dtype).itemsize)
+    if plan is None:
+        out = warp_batch(v5, flow, "linear")
+        return out[..., 0] if squeeze else out
+
+    g, zb = plan
+    grid = identity_grid((X, Y, Z), dtype=jnp.float32)
+    c = jnp.clip(grid[None] + flow.astype(jnp.float32), 0.0,
+                 jnp.array([X - 1, Y - 1, Z - 1], jnp.float32))
+    ok = jnp.all(jax.vmap(lambda cc: _guards_ok(cc, g, zb, X, Y, Z))(c))
+    out = jax.lax.cond(
+        ok,
+        lambda _: jax.vmap(
+            lambda v, cc: _zline_body(v, cc, g, zb, payload_dtype)
+        )(v5, c).astype(v5.dtype),
+        lambda _: warp_batch(v5, flow, "linear").astype(v5.dtype),
+        0,
+    )
+    return out[..., 0] if squeeze else out
+
+
+def integrate_svf_zline_batch(vel, int_steps: int, payload_dtype=None):
+    """Batched scaling-and-squaring with z-line warps in the squaring body.
+
+    ``vel (B, X, Y, Z, 3)``. Each step's flow is ``svf / 2^(k-i)`` — small and
+    smooth, the ideal z-line case; the per-step guard still falls back to the
+    exact batched warp when violated. Parity: ``vxm.layers.VecInt``
+    (`config/README.md:52-53`), same contract as
+    :func:`multimodal_registration_tpu.ops.integrate.integrate_svf`.
+    """
+    if int_steps <= 0:
+        return vel
+    phi = vel.astype(jnp.float32) / (2.0**int_steps)
+
+    def body(_, p):
+        # payload_dtype reaches only the gathered values (pack9 cast);
+        # coordinates, weights, and the accumulator stay float32 — the same
+        # contract as integrate_svf's payload (fallback stays full f32).
+        inc = warp_zline_batch(p, p, payload_dtype=payload_dtype)
+        return p + inc.astype(jnp.float32)
+
+    return jax.lax.fori_loop(0, int_steps, body, phi)

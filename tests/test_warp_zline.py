@@ -110,6 +110,49 @@ class TestZlineWarp:
         got = np.asarray(wz.warp_zline(vol, flow, payload_dtype=jnp.bfloat16))
         np.testing.assert_allclose(got, _ref(vol, flow), atol=5e-3)
 
+    def test_batched_matches_per_element(self):
+        shape = (8, 8, 32)
+        flows = jnp.stack([
+            jnp.asarray(_smooth_flow(shape, 16, s, 0.4)) for s in (11, 12)])
+        vols = jnp.asarray(np.random.RandomState(13).rand(2, *shape, 2)
+                           .astype(np.float32))
+        got = np.asarray(wz.warp_zline_batch(vols, flows))
+        for i in range(2):
+            np.testing.assert_allclose(got[i], _ref(vols[i], flows[i]),
+                                       atol=1e-5)
+
+    def test_integrate_zline_matches_reference_integration(self):
+        from multimodal_registration_tpu.ops.integrate import integrate_svf
+
+        shape = (8, 8, 32)
+        vel = jnp.stack([
+            jnp.asarray(_smooth_flow(shape, 16, s, 1.5)) for s in (14, 15)])
+        got = np.asarray(wz.integrate_svf_zline_batch(vel, 5))
+        ref = np.stack([np.asarray(integrate_svf(vel[i], 5)) for i in range(2)])
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_model_env_flag_equivalence(self, monkeypatch):
+        """MMREG_ZLINE_MODEL=1 forward must match the default forward."""
+        from multimodal_registration_tpu.models.vxm_dense import (
+            VxmConfig, VxmDense, init_params)
+
+        cfg = VxmConfig(enc=(4,) * 4, dec=(4,) * 6, int_steps=3, int_res=2,
+                        svf_res=2, compute_dtype="float32",
+                        integrate_payload_dtype="")
+        model = VxmDense(cfg=cfg)
+        params = init_params(cfg, inshape=(16, 16, 16), seed=1)
+        rng = np.random.RandomState(16)
+        mov = jnp.asarray(rng.rand(1, 16, 16, 32, 1).astype(np.float32))
+        fx = jnp.asarray(rng.rand(1, 16, 16, 32, 1).astype(np.float32))
+        monkeypatch.setenv("MMREG_ZLINE_MODEL", "0")
+        base = model.apply(params, mov, fx)
+        monkeypatch.setenv("MMREG_ZLINE_MODEL", "1")
+        zl = model.apply(params, mov, fx)
+        np.testing.assert_allclose(np.asarray(zl["moved"]),
+                                   np.asarray(base["moved"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(zl["flow_fullres"]),
+                                   np.asarray(base["flow_fullres"]), atol=1e-5)
+
     def test_grad_flows_through_fast_path(self):
         shape = (8, 8, 16)
         vol = jnp.asarray(np.random.RandomState(9).rand(*shape).astype(np.float32))
