@@ -34,7 +34,8 @@ def _fuse_first_conv_enabled() -> bool:
     """Fused first-conv+pool Pallas kernel opt-in (MMREG_FUSED_FIRST_CONV=1).
 
     Only meaningful on TPU backends; kept opt-in until hardware-validated per
-    backend (Mosaic lowerings vary — PERF.md probe history)."""
+    backend (Mosaic lowerings vary — PERF.md probe history). INFERENCE-ONLY:
+    the kernel has no custom VJP yet — do not enable during training."""
     return os.environ.get("MMREG_FUSED_FIRST_CONV", "0") == "1"
 
 

@@ -170,9 +170,15 @@ def warp_zline(vol: jnp.ndarray, flow: jnp.ndarray, fallback=None,
     grid = identity_grid((X, Y, Z), dtype=jnp.float32)
     c = jnp.clip(grid + flow.astype(jnp.float32), 0.0,
                  jnp.array([X - 1, Y - 1, Z - 1], jnp.float32))
+    # checkpoint: reverse-mode AD would otherwise keep the gathered window
+    # tensor (lines x 2zb x 9C f32) as a residual — recomputing the row
+    # gather in the backward costs one extra pass and ~zero memory (same
+    # policy as the chunked warp's per-slab checkpoint).
+    body = jax.checkpoint(
+        lambda v, cc: _zline_body(v, cc, g, zb, payload_dtype))
     out = jax.lax.cond(
         _guards_ok(c, g, zb, X, Y, Z),
-        lambda _: _zline_body(v4, c, g, zb, payload_dtype).astype(v4.dtype),
+        lambda _: body(v4, c).astype(v4.dtype),
         lambda _: fallback(v4, flow).astype(v4.dtype),
         0,
     )
@@ -203,11 +209,11 @@ def warp_zline_batch(vol, flow, payload_dtype=None):
     c = jnp.clip(grid[None] + flow.astype(jnp.float32), 0.0,
                  jnp.array([X - 1, Y - 1, Z - 1], jnp.float32))
     ok = jnp.all(jax.vmap(lambda cc: _guards_ok(cc, g, zb, X, Y, Z))(c))
+    body = jax.checkpoint(
+        lambda v, cc: _zline_body(v, cc, g, zb, payload_dtype))
     out = jax.lax.cond(
         ok,
-        lambda _: jax.vmap(
-            lambda v, cc: _zline_body(v, cc, g, zb, payload_dtype)
-        )(v5, c).astype(v5.dtype),
+        lambda _: jax.vmap(body)(v5, c).astype(v5.dtype),
         lambda _: warp_batch(v5, flow, "linear").astype(v5.dtype),
         0,
     )
