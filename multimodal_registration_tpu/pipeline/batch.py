@@ -64,9 +64,12 @@ def run_batch(
     include_list: list | None = None,
     exclude_list: list | None = None,
     segmenter=None,
+    sharding=None,
     **pipeline_kwargs,
 ):
     cfg = InferenceConfig.from_json(config_path) if config_path else InferenceConfig()
+    if sharding:
+        cfg.sharding = {**cfg.sharding, **{k: v for k, v in sharding.items() if v}}
     pcfg = PipelineConfig(**pipeline_kwargs)
     pcfg.two_step = model2_path is not None
 
@@ -174,6 +177,10 @@ def main(argv=None):
                    help="exact subject names to keep (sct_run_batch -include-list)")
     p.add_argument("--exclude-list", nargs="*", default=None,
                    help="exact subject names to drop (sct_run_batch -exclude-list)")
+    p.add_argument("--space", type=int, default=None,
+                   help="shard each volume's X-axis over N chips (multi-chip)")
+    p.add_argument("--data-shard", type=int, default=None,
+                   help="shard the inference batch axis over N chips")
     a = p.parse_args(argv)
     _, summary = run_batch(
         a.path_data, a.path_output, a.model_path,
@@ -182,6 +189,7 @@ def main(argv=None):
         include_list=a.include_list, exclude_list=a.exclude_list,
         fx_contrast=a.fx_contrast, mov_contrast=a.mov_contrast,
         opt_affine=a.opt_affine, min_sc_dice=a.min_sc_dice,
+        sharding={"space": a.space, "data": a.data_shard},
     )
     print(json.dumps(summary, indent=2))
 
