@@ -93,7 +93,14 @@ def get_baseline():
 
 
 def main():
-    value = measure_tpu()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1,
+                    help="pairs per forward (batch>1 re-measure, PERF.md)")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+    value = measure_tpu(iters=args.iters, batch=args.batch)
     baseline = get_baseline()
     base = baseline.get("tf_cpu_pairs_per_sec_192")
     vs = (value / base) if base else 1.0
