@@ -8,9 +8,10 @@ loss-tail (compose+label-warp+Dice) shares — the custom-VJP go/no-go signal
 (VERDICT r3 #3). Chained PRNG keys keep dispatch async; a scalar readback
 drains.
 
-Usage: train_breakdown.py [iters] [--zline] [--small]
-  --zline  set MMREG_ZLINE_MODEL=1 before tracing (z-line integrate/warp)
-  --small  32x32x48 / 8-label workload for CPU smoke testing
+Usage: train_breakdown.py [iters] [--zline] [--zline-compose] [--small]
+  --zline          MMREG_ZLINE_MODEL=1 (z-line integrate + moved warp)
+  --zline-compose  MMREG_ZLINE_COMPOSE=1 (z-line generator-field compose)
+  --small          32x32x48 / 8-label workload for CPU smoke testing
 """
 
 from __future__ import annotations
@@ -131,7 +132,8 @@ def main(iters: int = 6, small: bool = False):
         params2 = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return loss, params2, opt_state2
 
-    res = {"zline": os.environ.get("MMREG_ZLINE_MODEL", "0") == "1"}
+    res = {"zline": os.environ.get("MMREG_ZLINE_MODEL", "0") == "1",
+           "zline_compose": os.environ.get("MMREG_ZLINE_COMPOSE", "0") == "1"}
     res["synth_ms"] = round(timed(synth_only, (key, src, trg), iters) * 1000, 1)
     print(json.dumps({"synth_ms": res["synth_ms"]}), flush=True)
     res["model_fwd_ms"] = round(
@@ -160,6 +162,9 @@ if __name__ == "__main__":
     if "--zline" in argv:
         os.environ["MMREG_ZLINE_MODEL"] = "1"
         argv.remove("--zline")
+    if "--zline-compose" in argv:
+        os.environ["MMREG_ZLINE_COMPOSE"] = "1"
+        argv.remove("--zline-compose")
     small = "--small" in argv
     if small:
         argv.remove("--small")

@@ -220,6 +220,24 @@ def warp_zline_batch(vol, flow, payload_dtype=None):
     return out[..., 0] if squeeze else out
 
 
+def compose_fields_zline_batch(phi1, phi2, payload_dtype=None):
+    """Batched field compose via the z-line warp.
+
+    ``phi(x) = phi2(x) + phi1(x + phi2(x))`` — the gather COORDINATES come
+    from ``phi2`` alone (in training that is the model flow: smooth, ~1
+    voxel), so the z-line guard typically holds even when ``phi1`` (the
+    generator field, ~10 voxels) is rough; guard failure falls back to the
+    exact batched warp. Same contract as
+    :func:`multimodal_registration_tpu.ops.field.compose_fields_batch`
+    (parity: ``vxm.utils.compose``, `bids_two_steps_registration.py:324`);
+    ``payload_dtype`` casts only the gathered ``phi1`` values (coordinates
+    and the ``+ phi2`` accumulation stay f32), mirroring the trainer's
+    ``compose_payload_dtype`` contract.
+    """
+    inc = warp_zline_batch(phi1, phi2, payload_dtype=payload_dtype)
+    return phi2.astype(jnp.float32) + inc.astype(jnp.float32)
+
+
 def integrate_svf_zline_batch(vel, int_steps: int, payload_dtype=None):
     """Batched scaling-and-squaring with z-line warps in the squaring body.
 

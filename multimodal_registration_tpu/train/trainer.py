@@ -104,8 +104,17 @@ def make_loss_fn(model: VxmDense, engine_cfg: ImageEngineConfig, cfg: TrainConfi
         # bf16 payload (cfg.compose_payload_dtype) halves gather bytes →
         # halo 16 fits the slab budget (gen fields reach ~10 voxels; the f32
         # plan's halo 8 would fall back to the whole-volume gather).
-        if cfg.compose_payload_dtype:
-            cpd = jnp.dtype(cfg.compose_payload_dtype)
+        cpd = jnp.dtype(cfg.compose_payload_dtype) if cfg.compose_payload_dtype else None
+        if os.environ.get("MMREG_ZLINE_COMPOSE", "0") == "1":
+            # z-line row-reduction compose (ops/warp_zline.py): the gather
+            # coordinates are the MODEL flow (smooth), so the fast path holds
+            # even under large generator fields; guarded exact fallback.
+            from multimodal_registration_tpu.ops.warp_zline import (
+                compose_fields_zline_batch,
+            )
+
+            total_field = compose_fields_zline_batch(phi1, flow, payload_dtype=cpd)
+        elif cpd is not None:
             # gathered phi1 values in cpd; the + flow accumulation is f32
             total_field = compose_fields_batch(phi1.astype(cpd), flow).astype(
                 jnp.float32

@@ -172,3 +172,56 @@ class TestZlineWarp:
         gz = np.asarray(jax.grad(loss_z)(flow))
         gr = np.asarray(jax.grad(loss_ref)(flow))
         np.testing.assert_allclose(gz, gr, atol=1e-4)
+
+
+class TestZlineCompose:
+    def test_compose_matches_exact(self):
+        """Smooth phi2 (model-flow analogue) + rough phi1 (generator-field
+        analogue): coordinates come from phi2, so the fast path holds and
+        must match the exact compose."""
+        from multimodal_registration_tpu.ops.field import compose_fields_batch
+
+        shape = (8, 8, 16)
+        rng = np.random.RandomState(3)
+        phi1 = jnp.asarray(rng.randn(2, *shape, 3).astype(np.float32) * 4.0)
+        phi2 = jnp.asarray(np.stack([
+            _smooth_flow(shape, 8, 20 + i, 0.6) for i in range(2)]))
+        exact = np.asarray(compose_fields_batch(phi1, phi2))
+        fast = np.asarray(wz.compose_fields_zline_batch(phi1, phi2))
+        np.testing.assert_allclose(fast, exact, atol=1e-5)
+
+    def test_compose_rough_phi2_falls_back(self):
+        from multimodal_registration_tpu.ops.field import compose_fields_batch
+
+        shape = (8, 8, 16)
+        rng = np.random.RandomState(4)
+        phi1 = jnp.asarray(rng.randn(1, *shape, 3).astype(np.float32))
+        phi2 = jnp.asarray(rng.randn(1, *shape, 3).astype(np.float32) * 9.0)
+        exact = np.asarray(compose_fields_batch(phi1, phi2))
+        fast = np.asarray(wz.compose_fields_zline_batch(phi1, phi2))
+        np.testing.assert_allclose(fast, exact, atol=1e-5)
+
+    def test_trainer_env_flag_equivalence(self, monkeypatch):
+        """MMREG_ZLINE_COMPOSE=1 must not change the training loss (f32
+        payload; the z-line fast path is exact)."""
+        from multimodal_registration_tpu.train.config import TrainConfig
+        from multimodal_registration_tpu.train.trainer import Trainer, make_loss_fn
+
+        cfg = TrainConfig.from_dict(dict(
+            in_shape=[16, 16, 32], num_labels=6, batch_size=1, epochs=1,
+            compose_payload_dtype="",
+        ))
+        trainer = Trainer(cfg)
+        params, _ = trainer.init_state()
+        rng = np.random.default_rng(0)
+        src = jnp.asarray(rng.integers(0, 6, size=(1, 16, 16, 32), dtype=np.uint8))
+        trg = jnp.asarray(rng.integers(0, 6, size=(1, 16, 16, 32), dtype=np.uint8))
+        key = jax.random.PRNGKey(7)
+
+        monkeypatch.delenv("MMREG_ZLINE_COMPOSE", raising=False)
+        loss_fn = make_loss_fn(trainer.model, trainer.engine_cfg, cfg, True)
+        base, _ = loss_fn(params, key, src, trg)
+        monkeypatch.setenv("MMREG_ZLINE_COMPOSE", "1")
+        loss_fn2 = make_loss_fn(trainer.model, trainer.engine_cfg, cfg, True)
+        zl, _ = loss_fn2(params, key, src, trg)
+        np.testing.assert_allclose(float(zl), float(base), atol=1e-5)
