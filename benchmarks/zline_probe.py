@@ -69,13 +69,18 @@ def probe(shape, C, scale, mag, tag, results):
 
 
 def main():
+    small = "--small" in sys.argv
     results = {"backend": jax.default_backend()}
-    # moved-image warp (192^3, C=1), inference-scale smooth flow
-    probe((192, 192, 192), 1, 16, 1.0, "moved192_c1", results)
-    # integration-step warp (96^3, C=3), half-SVF-scale flow
-    probe((96, 96, 96), 3, 8, 0.5, "integ96_c3", results)
-    # reference-workload moved warp (160x160x192)
-    probe((160, 160, 192), 1, 16, 1.0, "moved_ref_c1", results)
+    if small:
+        probe((32, 32, 32), 1, 8, 0.5, "small_c1", results)
+        probe((32, 32, 32), 3, 8, 0.5, "small_c3", results)
+    else:
+        # moved-image warp (192^3, C=1), inference-scale smooth flow
+        probe((192, 192, 192), 1, 16, 1.0, "moved192_c1", results)
+        # integration-step warp (96^3, C=3), half-SVF-scale flow
+        probe((96, 96, 96), 3, 8, 0.5, "integ96_c3", results)
+        # reference-workload moved warp (160x160x192)
+        probe((160, 160, 192), 1, 16, 1.0, "moved_ref_c1", results)
     print(json.dumps(results, indent=1))
 
 
