@@ -50,7 +50,17 @@ class InferenceConfig:
             raise ValueError(f"unknown sharding keys: {sorted(bad)} (want data/space)")
         return cfg
 
-    def round16(self, x: int) -> int:
+    def round16(self, x: int, axis: int | None = None) -> int:
+        """Round a dim to the model's shape quantum (16, floor by default —
+        `bids_registration.py:157-158` parity).
+
+        When ``space`` sharding is configured and ``axis`` is 0 (the sharded
+        X dimension), the quantum becomes ``16 * space`` so preprocessed
+        shapes always divide over the mesh — opting into sharding opts into
+        the coarser X rounding (Y/Z keep reference-parity rounding)."""
+        q = 16
+        if axis == 0:
+            q *= max(1, int(self.sharding.get("space", 1) or 1))
         if self.round_mode == "ceil16":
-            return int(-(-int(x) // 16) * 16)
-        return int((int(x) // 16) * 16)
+            return int(-(-int(x) // q) * q)
+        return int((int(x) // q) * q)

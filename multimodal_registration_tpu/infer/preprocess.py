@@ -43,7 +43,7 @@ def minmax_scale(x: np.ndarray) -> np.ndarray:
 
 def subvol_grid(cfg: InferenceConfig, vol_shape) -> Tuple[tuple, list]:
     """Tile coordinates for overlapping subvolumes (`bids_registration.py:177-219`)."""
-    in_shape = tuple(cfg.round16(s) for s in cfg.subvol_size)
+    in_shape = tuple(cfg.round16(s, axis=i) for i, s in enumerate(cfg.subvol_size))
     min_perc = cfg.min_perc_overlap
     if min_perc >= 1:
         min_perc = min_perc / 100 if min_perc / 100 < 1 else 0.1
@@ -125,7 +125,7 @@ def preprocess(
 
     # lexicographic max of shapes — the reference's `max(tuple, tuple)` quirk
     max_shape = max(tuple(fx_res.shape), tuple(mov_res.shape))
-    new_shape = tuple(cfg.round16(s) for s in max_shape)
+    new_shape = tuple(cfg.round16(s, axis=i) for i, s in enumerate(max_shape))
 
     fx_data = pad_or_crop(fx_res.get_fdata(), new_shape)
     mov_data = pad_or_crop(mov_res.get_fdata(), new_shape)

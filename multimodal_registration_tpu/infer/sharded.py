@@ -32,9 +32,11 @@ class ShardedRegistrar:
     path with a warning (spatial sharding needs whole conv strides per shard).
     """
 
-    def __init__(self, cfg: InferenceConfig, params, mesh: Mesh):
+    def __init__(self, cfg: InferenceConfig, params, mesh: Mesh,
+                 max_batch: int = 4):
         self.cfg = cfg
         self.mesh = mesh
+        self.max_batch = max_batch
         self._fallback = None
         vxm_cfg = VxmConfig(
             enc=tuple(cfg.enc),
@@ -83,19 +85,31 @@ class ShardedRegistrar:
             return self._fallback.predict(mov, fx)
 
         B = mov.shape[0]
-        pad = (-B) % data
-        if pad:
-            z = np.zeros((pad, *mov.shape[1:]), np.float32)
-            mov = np.concatenate([np.asarray(mov, np.float32), z])
-            fx = np.concatenate([np.asarray(fx, np.float32), z])
-        mov_j = jax.device_put(
-            jnp.asarray(mov, jnp.float32)[..., None], self._vol_sharding
-        )
-        fx_j = jax.device_put(
-            jnp.asarray(fx, jnp.float32)[..., None], self._vol_sharding
-        )
-        out = self._apply(self.params, mov_j, fx_j)
-        return (np.asarray(out["moved"][..., 0])[:B], np.asarray(out["warp"])[:B])
+        # fixed-size chunks, mirroring Registrar.predict's bounded-activation
+        # contract: `max_batch` pairs per data-group per forward, scaled by
+        # 1/space (each pair's activations are split over `space` devices) —
+        # all tiles of a subvolume subject no longer ride one giant forward.
+        chunk = data * max(1, self.max_batch // max(1, space))
+        chunk = min(chunk, max(data, B + ((-B) % data)))
+        moved_parts, warp_parts = [], []
+        for s in range(0, B, chunk):
+            m = np.asarray(mov[s : s + chunk], np.float32)
+            f = np.asarray(fx[s : s + chunk], np.float32)
+            n = m.shape[0]
+            if n < chunk:  # pad so every chunk hits the same executable
+                z = np.zeros((chunk - n, *m.shape[1:]), np.float32)
+                m = np.concatenate([m, z])
+                f = np.concatenate([f, z])
+            mov_j = jax.device_put(
+                jnp.asarray(m, jnp.float32)[..., None], self._vol_sharding
+            )
+            fx_j = jax.device_put(
+                jnp.asarray(f, jnp.float32)[..., None], self._vol_sharding
+            )
+            out = self._apply(self.params, mov_j, fx_j)
+            moved_parts.append(np.asarray(out["moved"][..., 0])[:n])
+            warp_parts.append(np.asarray(out["warp"])[:n])
+        return (np.concatenate(moved_parts), np.concatenate(warp_parts))
 
 
 def make_registrar(cfg: InferenceConfig, params, max_batch: int = 4):
@@ -122,4 +136,4 @@ def make_registrar(cfg: InferenceConfig, params, max_batch: int = 4):
     from multimodal_registration_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh(data * space, space=space)
-    return ShardedRegistrar(cfg, params, mesh)
+    return ShardedRegistrar(cfg, params, mesh, max_batch=max_batch)

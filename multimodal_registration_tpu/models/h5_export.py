@@ -12,16 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from multimodal_registration_tpu.models.h5_import import conv_module_order
 from multimodal_registration_tpu.models.vxm_dense import VxmConfig
-
-
-def _conv_order(cfg: VxmConfig):
-    """Our module names in model (= Keras layer) order, flow head last."""
-    return (
-        [f"enc_{i}" for i in range(len(cfg.enc))]
-        + [f"dec_{i}" for i in range(len(cfg.enc))]
-        + [f"final_{j}" for j in range(len(cfg.dec) - len(cfg.enc))]
-    )
 
 
 def export_keras_vxm_h5(params, cfg: VxmConfig, h5path: str):
@@ -30,7 +22,7 @@ def export_keras_vxm_h5(params, cfg: VxmConfig, h5path: str):
 
     p = params["params"]
     layers = []  # (layer_name, kernel, bias)
-    for li, name in enumerate(_conv_order(cfg)):
+    for li, name in enumerate(conv_module_order(cfg)):
         sub = p["unet"][name]["conv"]
         layers.append((f"vxm_dense_conv_{li}", sub["kernel"], sub["bias"]))
     layers.append((f"vxm_dense_conv_{len(layers)}", p["flow"]["kernel"], p["flow"]["bias"]))

@@ -50,14 +50,21 @@ def _collect_conv_weights(h5path: str):
     return pairs
 
 
-def import_keras_vxm_h5(h5path: str, params_template, cfg: VxmConfig):
-    """Return a params pytree with conv kernels/biases replaced by the h5 ones."""
-    pairs = _collect_conv_weights(h5path)
-    order = (
+def conv_module_order(cfg: VxmConfig):
+    """Our U-Net module names in Keras layer order (flow head appended by
+    callers). Shared by the importer and :mod:`h5_export` — the two MUST
+    agree or weights land on the wrong layers."""
+    return (
         [f"enc_{i}" for i in range(len(cfg.enc))]
         + [f"dec_{i}" for i in range(len(cfg.enc))]
         + [f"final_{j}" for j in range(len(cfg.dec) - len(cfg.enc))]
     )
+
+
+def import_keras_vxm_h5(h5path: str, params_template, cfg: VxmConfig):
+    """Return a params pytree with conv kernels/biases replaced by the h5 ones."""
+    pairs = _collect_conv_weights(h5path)
+    order = conv_module_order(cfg)
     n_expected = len(order) + 1  # + flow head
     if len(pairs) != n_expected:
         raise ValueError(

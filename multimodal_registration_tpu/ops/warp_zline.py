@@ -126,19 +126,29 @@ def _guards_ok(c, g, zb, X, Y, Z):
     return jnp.all(gx & gy & gz)
 
 
+# Max bytes per gathered row (zb * 9C values x payload itemsize). Gather
+# throughput is governed by the packed source's PADDED width (CLAUDE.md /
+# PERF.md round 2b), so a row must stay within a few 128-lane tiles; beyond
+# the budget the packed design loses to the flat per-voxel path and the
+# caller should fall back.
+ZLINE_ROW_BYTE_BUDGET = 4096
+
+
 def zline_plan(Z: int, C: int, itemsize: int):
-    """Pick (g, zb) so rows stay within one or two 128-lane tiles; None when
-    the shape doesn't block evenly or lines would be too short to pay off."""
+    """Pick (g, zb) for the z-line path, or None to fall back.
+
+    ``itemsize`` is the PAYLOAD itemsize (reduced when ``payload_dtype`` is
+    set). None when Z doesn't block evenly, lines would be too short to
+    amortize the row gather, or ``zb * 9C * itemsize`` exceeds
+    :data:`ZLINE_ROW_BYTE_BUDGET` even at the smallest block."""
     if os.environ.get("MMREG_ZLINE_WARP", "1") == "0":
         return None
-    for zb in (16, 32, 8):
-        if Z % zb:
+    for zb in (16, 8):  # g == zb: line length == z-block depth
+        if Z % zb or Z // zb < 2:
             continue
-        if Z // zb < 2:
+        if zb * 9 * C * itemsize > ZLINE_ROW_BYTE_BUDGET:
             continue
-        g = min(zb, 16)
-        if Z % g == 0 and g >= 8:
-            return g, zb
+        return zb, zb
     return None
 
 
@@ -157,7 +167,9 @@ def warp_zline(vol: jnp.ndarray, flow: jnp.ndarray, fallback=None,
     squeeze = vol.ndim == 3
     v4 = vol[..., None] if squeeze else vol
     X, Y, Z, C = v4.shape
-    plan = zline_plan(Z, C, jnp.dtype(v4.dtype).itemsize)
+    itemsize = jnp.dtype(payload_dtype if payload_dtype is not None
+                         else v4.dtype).itemsize
+    plan = zline_plan(Z, C, itemsize)
     if fallback is None:
         from multimodal_registration_tpu.ops.warp import warp as _warp
 
@@ -199,7 +211,9 @@ def warp_zline_batch(vol, flow, payload_dtype=None):
     squeeze = vol.ndim == 4
     v5 = vol[..., None] if squeeze else vol
     B, X, Y, Z, C = v5.shape
-    plan = zline_plan(Z, C, jnp.dtype(v5.dtype).itemsize)
+    itemsize = jnp.dtype(payload_dtype if payload_dtype is not None
+                         else v5.dtype).itemsize
+    plan = zline_plan(Z, C, itemsize)
     if plan is None:
         out = warp_batch(v5, flow, "linear")
         return out[..., 0] if squeeze else out

@@ -136,6 +136,14 @@ class Trainer:
     """Owns mesh, model, optimizer, compiled steps, and checkpoints."""
 
     def __init__(self, cfg: TrainConfig, mesh=None):
+        if os.environ.get("MMREG_FUSED_FIRST_CONV", "0") == "1":
+            # the fused first-conv Pallas kernel has no VJP — under
+            # value_and_grad it fails deep in AD with an opaque transpose
+            # error; fail early with the actionable message instead.
+            raise RuntimeError(
+                "MMREG_FUSED_FIRST_CONV=1 is inference-only (the Pallas "
+                "kernel has no custom VJP); unset it before training"
+            )
         self.cfg = cfg
         if mesh is None:
             n_dev = cfg.num_devices

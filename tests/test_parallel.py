@@ -138,45 +138,43 @@ def test_make_registrar_factory():
         make_registrar(cfg, params)
 
 
-def test_cli_space_sharded_outputs_identical(tmp_path, monkeypatch):
+def test_cli_space_sharded_outputs_identical(tmp_path):
     """VERDICT r2 item 4: the CLI driven with sharding space>1 must produce
-    NIfTI outputs identical to the single-chip run."""
-    import json
+    NIfTI outputs identical to the single-chip run (shared body:
+    infer/selftest.py, also exercised by the driver contract check)."""
+    from multimodal_registration_tpu.infer.selftest import cli_space_parity_check
 
-    from multimodal_registration_tpu.infer.cli import pair_registration
-    from multimodal_registration_tpu.models.vxm_dense import params_template as pt
-    from multimodal_registration_tpu.train.trainer import _flatten_params
-    from multimodal_registration_tpu.utils import nifti
+    cli_space_parity_check(2, str(tmp_path), seed=0)
 
-    rng = np.random.default_rng(0)
-    shape = (64, 32, 32)  # X divisible by space(2) * 16
-    aff = np.eye(4)
-    fx_p, mov_p = str(tmp_path / "fx.nii.gz"), str(tmp_path / "mov.nii.gz")
-    nifti.save(nifti.NiftiImage(rng.random(shape).astype(np.float32), aff), fx_p)
-    nifti.save(nifti.NiftiImage(rng.random(shape).astype(np.float32), aff), mov_p)
 
-    params = pt(VxmConfig(enc=(4,) * 4, dec=(4,) * 6, compute_dtype="float32"))
+def test_sharded_registrar_chunked_equals_one_shot():
+    """max_batch bounds pairs per forward; chunked output equals unchunked
+    (and the plain Registrar), and round16(axis=0) honours the space axis."""
+    cfg = InferenceConfig.from_dict(CFG)
+    params = params_template(
+        VxmConfig(enc=tuple(cfg.enc), dec=tuple(cfg.dec), compute_dtype="float32")
+    )
+    rng = np.random.default_rng(5)
     params = jax.tree_util.tree_map(
         lambda x: np.asarray(rng.normal(scale=0.05, size=x.shape), x.dtype), params
     )
-    wpath = str(tmp_path / "w.npz")
-    np.savez(wpath, **_flatten_params(params))
+    mesh = make_mesh(8, space=2)  # data=4
+    small = ShardedRegistrar(cfg, params, mesh, max_batch=2)  # chunk = 4*1
+    big = ShardedRegistrar(cfg, params, mesh, max_batch=64)   # one shot
+    mov = rng.random((6, 32, 16, 16)).astype(np.float32)
+    fx = rng.random((6, 32, 16, 16)).astype(np.float32)
+    m1, w1 = small.predict(mov, fx)
+    m2, w2 = big.predict(mov, fx)
+    np.testing.assert_allclose(m1, m2, atol=2e-5)
+    np.testing.assert_allclose(w1, w2, atol=2e-5)
+    m3, _ = Registrar(cfg, params).predict(mov, fx)
+    np.testing.assert_allclose(m1, m3, atol=2e-4)
 
-    outs = {}
-    for tag, extra in (("single", {}), ("sharded", {"sharding": {"space": 2}})):
-        cfg_p = str(tmp_path / f"cfg_{tag}.json")
-        json.dump({**CFG, **extra}, open(cfg_p, "w"))
-        res_dir = str(tmp_path / f"res_{tag}")
-        monkeypatch.chdir(tmp_path)
-        pair_registration([
-            "--model-path", wpath, "--config-path", cfg_p,
-            "--fx-img-path", fx_p, "--mov-img-path", mov_p,
-            "--fx-img-contrast", "T2w", "--res-dir", res_dir,
-            "--one-cpu-tf", "False",
-        ])
-        outs[tag] = (
-            nifti.load(f"{res_dir}/warped_im.nii.gz").get_fdata(),
-            nifti.load(f"{res_dir}/deform_field.nii.gz").get_fdata(),
-        )
-    np.testing.assert_allclose(outs["sharded"][0], outs["single"][0], atol=2e-4)
-    np.testing.assert_allclose(outs["sharded"][1], outs["single"][1], atol=2e-4)
+
+def test_round16_space_axis_quantum():
+    cfg = InferenceConfig.from_dict(dict(CFG, sharding={"space": 2}))
+    assert cfg.round16(176, axis=0) == 160   # floor to 32 on the sharded X
+    assert cfg.round16(176, axis=1) == 176   # Y/Z keep reference parity
+    assert cfg.round16(176) == 176
+    cfg2 = InferenceConfig.from_dict(CFG)
+    assert cfg2.round16(176, axis=0) == 176  # unsharded: unchanged
