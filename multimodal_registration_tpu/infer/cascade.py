@@ -29,7 +29,7 @@ from multimodal_registration_tpu.infer.register import (
     apply_warp,
     postprocess_and_save,
 )
-from multimodal_registration_tpu.ops.field import compose_fields
+from multimodal_registration_tpu.ops.field import compose_fields, compose_fields_batch
 from multimodal_registration_tpu.utils import nifti
 
 
@@ -93,11 +93,11 @@ def register_two_steps(
         mov_tiles = np.stack(pre.subvols_mov)
         moved1_t, warp1_t = reg1.predict(mov_tiles, fx_tiles)
         _, warp2_t = reg2.predict(moved1_t, fx_tiles)
-        composed = np.stack(
-            [
-                np.asarray(compose_fields(jnp.asarray(w1), jnp.asarray(w2)))
-                for w1, w2 in zip(warp1_t, warp2_t)
-            ]
+        # one batched compose over the stacked tiles: a single executable,
+        # halo cond hoisted above the batch (vs N eager per-tile dispatches
+        # on a 30s-5min-per-HLO backend)
+        composed = np.asarray(
+            compose_fields_batch(jnp.asarray(warp1_t), jnp.asarray(warp2_t))
         )
         warp_data, scale = _blend(
             cfg, pre, composed, pre.subvol_coords, mov_data.shape, pre.model_in_shape
@@ -129,6 +129,14 @@ def register_two_steps(
             cfg, pre2, warp2_t, pre2.subvol_coords,
             pre2.moving.get_fdata().shape, pre2.model_in_shape,
         )
+        if scale2 != scale:
+            # both models must produce fields on the same grid for the
+            # compose below — differing int_res configs would silently
+            # sample the coarser field with the finer grid's coordinates
+            raise ValueError(
+                f"cascade models disagree on field scale ({scale} vs "
+                f"{scale2}); use models with identical int_res"
+            )
         warp_data = np.asarray(
             compose_fields(jnp.asarray(warp1_full), jnp.asarray(warp2_full))
         )

@@ -81,7 +81,8 @@ class ShardedRegistrar:
             if self._fallback is None:
                 from multimodal_registration_tpu.infer.register import Registrar
 
-                self._fallback = Registrar(self.cfg, self.params)
+                self._fallback = Registrar(self.cfg, self.params,
+                                           max_batch=self.max_batch)
             return self._fallback.predict(mov, fx)
 
         B = mov.shape[0]

@@ -32,7 +32,11 @@ import jax.numpy as jnp
 from multimodal_registration_tpu.ops.warp import sample as device_sample
 from multimodal_registration_tpu.utils import nifti
 
-_ORDER = {"nn": 0, "nearest": 0, "linear": 1, "spline": 3}
+# 'spline' = cubic (order 3): the postprocess 'continuous' parity
+# (nilearn resample_img). 'spline2' = quadratic (order 2): what the
+# reference's resample_nib means by 'spline' (dict_interp,
+# bids_registration.py:46).
+_ORDER = {"nn": 0, "nearest": 0, "linear": 1, "spline": 3, "spline2": 2}
 
 
 def _scaled_permutation(R: np.ndarray, tol: float = 1e-9):
@@ -52,10 +56,10 @@ def _scaled_permutation(R: np.ndarray, tol: float = 1e-9):
 
 @functools.lru_cache(maxsize=64)
 def _spline_axis_operator(n_in: int, n_out: int, scale: float, offset: float,
-                          mode: str) -> np.ndarray:
-    """Exact scipy 1-D cubic-spline resampling operator W (n_out, n_in):
+                          mode: str, order: int = 3) -> np.ndarray:
+    """Exact scipy 1-D spline resampling operator W (n_out, n_in):
     ``out[o] = sum_j W[o, j] * v[j]`` where out is scipy's
-    ``map_coordinates(v, scale*o + offset, order=3, mode=mode, cval=0)``.
+    ``map_coordinates(v, scale*o + offset, order=order, mode=mode, cval=0)``.
 
     Derived by running scipy on the basis vectors — prefilter boundary
     conditions and kernel edge handling are inherited bit-for-bit instead of
@@ -67,7 +71,7 @@ def _spline_axis_operator(n_in: int, n_out: int, scale: float, offset: float,
     e = np.zeros(n_in, np.float64)
     for j in range(n_in):
         e[j] = 1.0
-        W[:, j] = map_coordinates(e, pos, order=3, mode=mode, cval=0.0)
+        W[:, j] = map_coordinates(e, pos, order=order, mode=mode, cval=0.0)
         e[j] = 0.0
     return W
 
@@ -81,8 +85,8 @@ def _apply_axis_operators_jit(volj, W0, W1, W2, axes_order):
     return jnp.transpose(out, axes_order)
 
 
-def _device_spline_resample(vol, M, out_shape, mode, cval):
-    """Device path for order-3 resampling when the map is a scaled
+def _device_spline_resample(vol, M, out_shape, mode, cval, order: int = 3):
+    """Device path for order>=2 spline resampling when the map is a scaled
     permutation; returns None when inapplicable (oblique rotation, cval != 0,
     disabled by env)."""
     if cval != 0.0 or os.environ.get("MMREG_SPLINE_DEVICE", "1") == "0":
@@ -96,7 +100,7 @@ def _device_spline_resample(vol, M, out_shape, mode, cval):
         jnp.asarray(
             _spline_axis_operator(
                 int(vol.shape[i]), out_shape[sigma[i]], scales[i],
-                float(M[i, 3]), mode,
+                float(M[i, 3]), mode, order,
             ),
             jnp.float32,
         )
@@ -125,7 +129,7 @@ def affine_resample(
     M = np.linalg.inv(in_affine) @ out_affine
     if order in (0, 1):
         return _device_affine_resample(vol, M, out_shape, order, mode, cval)
-    out = _device_spline_resample(vol, M, out_shape, mode, cval)
+    out = _device_spline_resample(vol, M, out_shape, mode, cval, order)
     if out is not None:
         return out
     from scipy.ndimage import affine_transform
@@ -177,7 +181,14 @@ def resample_nib(
     mode: str = "nearest",
 ) -> nifti.NiftiImage:
     """Drop-in equivalent of the reference's ``resample_nib``
-    (`bids_registration.py:25-123`), 3-D and 4-D volumes."""
+    (`bids_registration.py:25-123`), 3-D and 4-D volumes.
+
+    The reference's 'spline' here is QUADRATIC (order 2 —
+    ``dict_interp = {'nn': 0, 'linear': 1, 'spline': 2}``,
+    `bids_registration.py:46`), unlike the postprocess 'continuous' path
+    which is cubic; map it to the order-2 operator."""
+    if interpolation == "spline":
+        interpolation = "spline2"
     img = image
     affine = np.array(img.affine, dtype=np.float64)
     affine[3, :] = [0, 0, 0, 1]
@@ -185,6 +196,14 @@ def resample_nib(
     if image_dest is None:
         p = img.header.get_zooms()
         shape = img.shape
+        if img.ndim == 4:
+            # reference appends a unit 4th-dim size (`bids_registration.py:
+            # 59-60`); done only for 3-element inputs so the isotropic
+            # 1-element form keeps working too (superset of the reference,
+            # which crashes on isotropic 4-D)
+            new_size = list(new_size)
+            if len(new_size) == 3:
+                new_size += ["1"]
         if new_size_type == "vox":
             shape_r = tuple(int(new_size[i]) for i in range(img.ndim))
         elif new_size_type == "factor":

@@ -72,9 +72,9 @@ def resize(vol: jnp.ndarray, zoom, out_shape=None) -> jnp.ndarray:
         for ax in range(3):
             v = _upsample2x_axis(v, ax)
         return v[..., 0] if squeeze else v
-    if all(float(z) == 0.5 for z in zoom) and tuple(out_shape) == tuple(
-        s // 2 for s in in_shape
-    ):
+    if (all(float(z) == 0.5 for z in zoom)
+            and all(s % 2 == 0 for s in in_shape)  # vol[::2] is ceil(n/2)
+            and tuple(out_shape) == tuple(s // 2 for s in in_shape)):
         v = vol[::2, ::2, ::2]  # zoom-0.5 matrix is an exact stride-2 pick
         v = v.astype(v.dtype if jnp.issubdtype(v.dtype, jnp.floating) else jnp.float32)
         return v[..., 0] if squeeze else v

@@ -94,23 +94,46 @@ def run_batch(
     t_start = time.time()
 
     # native prefetch pool: decode the next subjects' volumes concurrently
-    # with device work (jobs=1) — the sct_run_batch -jobs analogue for IO
+    # with device work (jobs=1) — the sct_run_batch -jobs analogue for IO.
+    # Submission rides a bounded sliding window (decoded f32 volumes are
+    # ~tens of MB each; submitting a whole 500-subject dataset up front would
+    # hold all of them in the pool's done-map while the consumer lags).
+    import threading
+
     prefetch = None
     tickets = {}
+    _pf_lock = threading.Lock()
+    _pf_iter = iter(subjects)
+    _pf_window = max(2, 2 * max(jobs, 1))
+    _pf_outstanding = [0]
     try:
         from multimodal_registration_tpu.pipeline.bids import subject_images
         from multimodal_registration_tpu.utils.native import PrefetchPool
 
         prefetch = PrefetchPool(n_threads=max(jobs, 2))
-        for s in subjects:
-            files = subject_images(path_data, s).files
-            tickets[s] = {
-                c: prefetch.submit(p)
-                for c, p in files.items()
-                if c in (pcfg.fx_contrast, pcfg.mov_contrast)
-            }
     except Exception:
         prefetch = None
+
+    def _pf_top_up():
+        if prefetch is None:
+            return
+        with _pf_lock:
+            while _pf_outstanding[0] < _pf_window:
+                s = next(_pf_iter, None)
+                if s is None:
+                    return
+                try:
+                    files = subject_images(path_data, s).files
+                    tickets[s] = {
+                        c: prefetch.submit(p)
+                        for c, p in files.items()
+                        if c in (pcfg.fx_contrast, pcfg.mov_contrast)
+                    }
+                    _pf_outstanding[0] += 1
+                except Exception:
+                    return
+
+    _pf_top_up()
 
     def one(subject):
         preloaded = None
@@ -119,6 +142,10 @@ def run_batch(
                 preloaded = {c: prefetch.wait(t) for c, t in tickets[subject].items()}
             except Exception:
                 preloaded = None
+            finally:
+                with _pf_lock:
+                    _pf_outstanding[0] -= 1
+            _pf_top_up()
         res = run_subject(
             cfg, pcfg, registrar, path_data, path_processed, subject,
             segmenter=segmenter, qc=qc, registrar2=registrar2, preloaded=preloaded,

@@ -68,6 +68,22 @@ def run_training(cfg: TrainConfig, max_steps: int | None = None) -> dict:
         labels_in = np.unique(np.stack(label_maps))
     else:
         labels_in, label_maps = vio.load_labels(cfg.label_dir)
+        # The synthesis engine one-hots by POSITION (values must live in
+        # [0, num_labels)); the reference instead passes the raw value list
+        # as in_label_list (`train_synthmorph.py:205-260`). Same semantics:
+        # remap raw label values (e.g. FreeSurfer ids 0,2,41,...) to
+        # contiguous indices, and size the engine to the actual label count.
+        labels_in = np.asarray(labels_in)
+        if (labels_in.min() != 0 or labels_in.max() != len(labels_in) - 1):
+            lut = np.zeros(int(labels_in.max()) + 1, np.int32)
+            lut[labels_in.astype(np.int64)] = np.arange(len(labels_in), dtype=np.int32)
+            label_maps = [lut[np.asarray(m, np.int64)] for m in label_maps]
+        if len(labels_in) != cfg.num_labels:
+            print(
+                f"loaded maps have {len(labels_in)} distinct labels; "
+                f"overriding num_labels={cfg.num_labels}"
+            )
+            cfg.num_labels = int(len(labels_in))
 
     # seeded shuffle + split (train_synthmorph.py:209-211)
     np.random.seed(42)

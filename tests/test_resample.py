@@ -168,3 +168,32 @@ def test_pad_or_crop():
     assert padded[3:].sum() == 0
     cropped = pad_or_crop(x, (2, 2, 2))
     np.testing.assert_array_equal(cropped, x[:2, :2, :2])
+
+
+def test_resample_nib_4d_three_elem_size():
+    """Reference parity: 3-element new_size on 4-D appends a unit 4th dim
+    (`bids_registration.py:59-60`)."""
+    vol = np.random.default_rng(7).normal(size=(6, 6, 6, 2))
+    img = nifti.NiftiImage(vol, np.eye(4))
+    out = resample_nib(img, new_size=[2, 2, 1], new_size_type="factor")
+    assert out.shape == (12, 12, 6, 2)
+
+
+def test_resample_nib_spline_is_quadratic():
+    """resample_nib 'spline' must be order 2 (dict_interp,
+    `bids_registration.py:46`) — NOT the postprocess cubic."""
+    from scipy.ndimage import affine_transform
+
+    vol = np.random.default_rng(8).normal(size=(9, 9, 9))
+    img = nifti.NiftiImage(vol, np.eye(4))
+    out = resample_nib(img, new_size=[0.5, 0.5, 0.5], new_size_type="mm",
+                       interpolation="spline")
+    M = np.diag([0.5, 0.5, 0.5])
+    ref2 = affine_transform(vol, M, output_shape=out.shape, order=2,
+                            mode="nearest")
+    ref3 = affine_transform(vol, M, output_shape=out.shape, order=3,
+                            mode="nearest")
+    d2 = float(np.max(np.abs(np.asarray(out.get_fdata()) - ref2)))
+    d3 = float(np.max(np.abs(np.asarray(out.get_fdata()) - ref3)))
+    assert d2 <= 1e-4, f"order-2 mismatch {d2}"
+    assert d3 > 1e-3, "output indistinguishable from cubic — wrong order"

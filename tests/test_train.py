@@ -135,3 +135,24 @@ def test_compose_payload_dtype_deviation(tmp_path):
         compose_fields_batch(phi1.astype(jnp.bfloat16), phi2).astype(jnp.float32)
     )
     assert np.max(np.abs(f32 - b16)) < 0.05
+
+
+def test_loaded_noncontiguous_labels_are_remapped(tmp_path):
+    """gen_label=false with raw label VALUES (e.g. FreeSurfer ids): the cli
+    must remap to contiguous [0, L) and size the engine to the real count
+    (reference: in_label_list, `train_synthmorph.py:205-260`)."""
+    from multimodal_registration_tpu.utils import nifti
+
+    lab_dir = tmp_path / "loaded_labels"
+    lab_dir.mkdir()
+    rng = np.random.default_rng(0)
+    values = np.array([0, 3, 7, 200], np.uint8)
+    for i in range(4):
+        m = values[rng.integers(0, 4, size=(16, 16, 16))]
+        nifti.save(nifti.NiftiImage(m.astype(np.float32), np.eye(4)),
+                   str(lab_dir / f"map_{i}.nii.gz"))
+    cfg = tiny_cfg(tmp_path, epochs=1, gen_label=False,
+                   label_dir=str(lab_dir), num_labels=26)  # wrong on purpose
+    out = run_training(cfg)
+    assert cfg.num_labels == 4  # overridden to the actual count
+    assert np.isfinite(out["history"][-1]["loss"])
