@@ -18,6 +18,7 @@
 
 #include <zlib.h>
 
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -100,14 +101,37 @@ int parse_nifti(const std::vector<uint8_t>& raw, NiftiVolume& vol,
   float inter = rd<float>(h + 116);
   if (slope == 0.0f || slope != slope) slope = 1.0f;
   if (inter != inter) inter = 0.0f;
+  int16_t qform_code = rd<int16_t>(h + 252);
   int16_t sform_code = rd<int16_t>(h + 254);
 
   for (int i = 0; i < 8; ++i) vol.dims[i] = dim[i];
-  // affine: srow if sform set, else pixdim diagonal
+  // affine precedence mirrors utils/nifti.py::_affine_from_header
+  // (and nibabel): srow if sform set, else the qform quaternion, else a
+  // pixdim diagonal.
   for (int i = 0; i < 16; ++i) vol.affine[i] = 0;
   vol.affine[15] = 1.0f;
   if (sform_code > 0) {
     std::memcpy(vol.affine, h + 280, 12 * sizeof(float));
+  } else if (qform_code > 0) {
+    float px[8];
+    std::memcpy(px, h + 76, sizeof(px));
+    double b = rd<float>(h + 256), c = rd<float>(h + 260), d = rd<float>(h + 264);
+    double qfac = (px[0] == -1.0f || px[0] == 1.0f) ? px[0] : 1.0;
+    double a2 = 1.0 - (b * b + c * c + d * d);
+    double a = a2 > 0.0 ? std::sqrt(a2) : 0.0;
+    double R[3][3] = {
+        {a * a + b * b - c * c - d * d, 2 * (b * c - a * d), 2 * (b * d + a * c)},
+        {2 * (b * c + a * d), a * a + c * c - b * b - d * d, 2 * (c * d - a * b)},
+        {2 * (b * d - a * c), 2 * (c * d + a * b), a * a + d * d - b * b - c * c}};
+    for (int i = 0; i < 3; ++i) R[i][2] *= qfac;
+    const double zoom[3] = {std::fabs((double)px[1]), std::fabs((double)px[2]),
+                            std::fabs((double)px[3])};
+    for (int i = 0; i < 3; ++i)
+      for (int j = 0; j < 3; ++j)
+        vol.affine[i * 4 + j] = static_cast<float>(R[i][j] * zoom[j]);
+    vol.affine[3] = rd<float>(h + 268);
+    vol.affine[7] = rd<float>(h + 272);
+    vol.affine[11] = rd<float>(h + 276);
   } else {
     float px[8];
     std::memcpy(px, h + 76, sizeof(px));

@@ -10,13 +10,29 @@ peak memory is O(volume), not O(volume × labels).
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 
+from multimodal_registration_tpu.ops.resize import _interp_matrix, resize
 from multimodal_registration_tpu.ops.warp import warp
 from multimodal_registration_tpu.synth.perlin import draw_perlin
+
+
+def _warp_for_label(l, coarse_noises, label_weights, shape3):
+    """One label's warp field from the shared coarse draws: interpolate its
+    coarse slice along the label axis, then spatially resize. Mirrors
+    neurite's joint (X, Y, Z, L, nd) perlin draw evaluated at label ``l``."""
+    wf = None
+    for noise, W in zip(coarse_noises, label_weights):
+        sl = jnp.einsum("c,...cd->...d", W[l], noise)
+        if sl.shape[:3] != tuple(shape3):
+            zoom = tuple(o / s for o, s in zip(shape3, sl.shape[:3]))
+            sl = resize(sl, zoom, out_shape=shape3)
+        wf = sl if wf is None else wf + sl
+    return wf
 
 
 def generate_label_map(
@@ -50,22 +66,44 @@ def generate_label_map(
     def_stds = jax.random.uniform(
         k_defstd, (len(tuple(def_scales)),), minval=0.0, maxval=def_max_std
     )
-    keys = jax.random.split(k_ch, num_labels)
+    k_ch_im, k_ch_def = jax.random.split(k_ch)
+    keys = jax.random.split(k_ch_im, num_labels)
 
-    def channel(k):
-        k_im, k_def = jax.random.split(k)
-        im = draw_perlin(
-            k_im, (*shape3, 1), im_scales, max_std=im_max_std, stds=im_stds
-        )[..., 0]
-        wf = draw_perlin(
-            k_def, (*shape3, ndim), def_scales, max_std=def_max_std, stds=def_stds
+    # Reference warp-draw semantics (`train_synthmorph.py:61-64` with
+    # ne.utils.augment.draw_perlin): the (X, Y, Z, L, nd) warp tensor is
+    # sampled at ``ceil(axis / scale)`` on EVERY axis but the last — the
+    # label axis included — so neighbouring labels get smoothly CORRELATED
+    # warps (identical once scale >= L). We keep the O(volume) lax.map by
+    # sampling the per-scale coarse noise ONCE (shared by all labels, tiny)
+    # and interpolating each label's coarse slice before the spatial resize.
+    def_scales_t = tuple(def_scales)
+    k_scale_noise = jax.random.split(k_ch_def, len(def_scales_t))
+    L = int(num_labels)
+    coarse_noises, label_weights = [], []
+    for i, s in enumerate(def_scales_t):
+        cs = tuple(int(math.ceil(d / s)) for d in shape3)
+        cl = max(1, int(math.ceil(L / s)))
+        noise = (
+            jax.random.normal(k_scale_noise[i], (*cs, cl, ndim), jnp.float32)
+            * def_stds[i]
         )
+        coarse_noises.append(noise)
+        label_weights.append(
+            jnp.asarray(_interp_matrix(L, cl, L / cl), jnp.float32)
+        )
+
+    def channel(args):
+        k, l = args
+        im = draw_perlin(
+            k, (*shape3, 1), im_scales, max_std=im_max_std, stds=im_stds
+        )[..., 0]
+        wf = _warp_for_label(l, coarse_noises, label_weights, shape3)
         if ndim == 2:  # zero z-component: displacement stays in-plane
             wf = jnp.concatenate([wf, jnp.zeros((*shape3, 1), wf.dtype)], axis=-1)
         return warp(im, wf, interp="linear")
 
     # lax.map keeps only one channel's temporaries live at a time
-    warped = jax.lax.map(channel, keys)  # (L, X, Y, Z)
+    warped = jax.lax.map(channel, (keys, jnp.arange(num_labels)))  # (L, X, Y, Z)
     lab = jnp.argmax(warped, axis=0).astype(jnp.uint8)
     return lab if ndim == 3 else lab[..., 0]
 

@@ -92,3 +92,32 @@ def test_native_gz_writer_roundtrip(tmp_path):
     assert write_gz_native(p2, blob)
     with gzip.open(p2, "rb") as f:
         assert f.read() == blob
+
+
+def test_native_qform_only_matches_python(tmp_path):
+    """sform_code=0 + qform quaternion (FSL/scanner-style): the native
+    loader must honour the quaternion like utils/nifti.py, not fall back to
+    a pixdim diagonal."""
+    import gzip
+    import struct
+
+    rng = np.random.default_rng(4)
+    data = rng.normal(size=(6, 5, 4)).astype(np.float32)
+    p = tmp_path / "q.nii.gz"
+    _save(p, data)  # writes sform; we rewrite the codes below
+    raw = bytearray(gzip.open(str(p), "rb").read())
+    # 30-deg rotation about z: quaternion (a=cos15, b=0, c=0, d=sin15)
+    d_q = np.sin(np.deg2rad(15.0))
+    struct.pack_into("<h", raw, 252, 1)      # qform_code = 1
+    struct.pack_into("<h", raw, 254, 0)      # sform_code = 0
+    struct.pack_into("<3f", raw, 256, 0.0, 0.0, float(d_q))
+    struct.pack_into("<3f", raw, 268, -5.0, 3.5, 7.25)  # qoffset
+    struct.pack_into("<8f", raw, 76, 1.0, 1.0, 1.25, 2.0, 0, 0, 0, 0)
+    with gzip.open(str(p), "wb") as f:
+        f.write(bytes(raw))
+
+    img = nifti.load(str(p))            # python reference
+    dn, an = load_nifti_native(str(p))
+    np.testing.assert_allclose(dn, data, atol=1e-6)
+    np.testing.assert_allclose(an, img.affine, atol=1e-5)
+    assert abs(an[0, 1]) > 0.1, "rotation lost — qform ignored"

@@ -216,3 +216,46 @@ def test_label_map_shared_scale_stds():
     assert lab.shape == (12, 12, 12)
     assert lab.max() < 5
     assert len(np.unique(lab)) > 1
+
+
+def test_label_warp_axis_correlation():
+    """Reference parity (`train_synthmorph.py:61-64` + neurite draw_perlin):
+    the label axis of the warp draw is downscaled like a spatial axis —
+    at scale >= L all labels share ONE warp; below that, neighbouring labels
+    are more correlated than distant ones."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_registration_tpu.synth.labelmaps import _warp_for_label
+    from multimodal_registration_tpu.ops.resize import _interp_matrix
+
+    shape3, L = (8, 8, 8), 6
+    key = jax.random.PRNGKey(0)
+
+    # cl = 1 (scale >= L): identical warps for every label
+    noise1 = jax.random.normal(key, (2, 2, 2, 1, 3))
+    W1 = jnp.asarray(_interp_matrix(L, 1, float(L)), jnp.float32)
+    w0 = _warp_for_label(0, [noise1], [W1], shape3)
+    wL = _warp_for_label(L - 1, [noise1], [W1], shape3)
+    np.testing.assert_allclose(np.asarray(w0), np.asarray(wL), atol=1e-6)
+
+    # cl = 3: adjacent labels closer than distant ones
+    noise3 = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 2, 3, 3))
+    W3 = jnp.asarray(_interp_matrix(L, 3, L / 3.0), jnp.float32)
+    ws = [np.asarray(_warp_for_label(l, [noise3], [W3], shape3)) for l in range(L)]
+    d_adj = np.mean([np.abs(ws[l] - ws[l + 1]).mean() for l in range(L - 1)])
+    d_far = np.abs(ws[0] - ws[L - 1]).mean()
+    assert d_adj < d_far
+
+
+def test_generate_label_map_still_deterministic_and_valid():
+    import jax
+
+    from multimodal_registration_tpu.synth.labelmaps import generate_label_map
+
+    m1 = generate_label_map(jax.random.PRNGKey(3), (12, 12, 12), 5,
+                            im_scales=(4, 8), def_scales=(4, 8))
+    m2 = generate_label_map(jax.random.PRNGKey(3), (12, 12, 12), 5,
+                            im_scales=(4, 8), def_scales=(4, 8))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    assert m1.dtype == np.uint8 and int(np.asarray(m1).max()) < 5
