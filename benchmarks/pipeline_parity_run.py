@@ -77,11 +77,14 @@ def build_dataset(root, shape, num_labels, n_subjects, engine_cfg,
             img, oh = labels_to_image(key, jnp.asarray(lab), engine_cfg)
             img = np.asarray(img, np.float32)
             # cord mask from THIS image's warped labels (each draw carries its
-            # own random deformation — the bump must move with the anatomy)
+            # own random deformation — the bump must move with the anatomy).
+            # Intensity contract with the threshold segmenter: background
+            # stays <= 0.5, cord interior >= ~1.0 — an unambiguous gap so the
+            # same anatomical structure segments in BOTH contrasts.
             warped_lab = np.asarray(jnp.argmax(oh, -1))
             cord_mask = ndimage.gaussian_filter(
                 (warped_lab == cord_label).astype(np.float32), 1.0)
-            img = 0.6 * img + 0.9 * cord_mask  # brighten the cord structure
+            img = 0.5 * img + 1.0 * cord_mask
             nifti.save(nifti.NiftiImage(img, aff),
                        os.path.join(anat, f"{sub}_{contrast}.nii.gz"))
         subjects.append(sub)
@@ -154,9 +157,15 @@ def main():
     with open(cfg_path, "w") as f:
         json.dump(infer_cfg, f)
 
+    from multimodal_registration_tpu.pipeline.segment import ThresholdSegmenter
+
     results, batch_summary = run_batch(
         path_data=data, path_output=out, model_path=model_path,
         config_path=cfg_path, jobs=1,
+        # top ~1.6% of voxels ~= the cord size the dataset builder targets;
+        # with the background<=0.5 / cord>=1.0 gap the threshold lands
+        # between them and both contrasts segment the same structure
+        segmenter=ThresholdSegmenter(percentile=98.4),
         opt_affine=True, min_sc_dice=80,
     )
 
