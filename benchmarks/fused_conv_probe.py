@@ -57,19 +57,25 @@ def main():
         x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), b).astype(jnp.bfloat16))
     results["xla_conv_pool_ms"] = round(timeit(xla, x, w, b), 2)
 
-    for block in ((2, 8), (4, 8), (2, 16), (4, 16), (8, 8)):
+    # block = FULL-RES tile (fx, fy); pool_z=False falls back to an XLA
+    # z-pool if the lane-axis pair-split reshape is rejected in-kernel
+    for block, pool_z in (((4, 16), True), ((4, 16), False), ((8, 16), True),
+                          ((4, 32), True), ((8, 32), True), ((16, 16), True)):
+        tag = f"fused_{block[0]}x{block[1]}{'' if pool_z else '_xlaz'}"
         try:
-            fused = jax.jit(lambda x, w, b, bl=block: conv3_lrelu_pool(
-                x, w, b, block=bl))
+            fused = jax.jit(lambda x, w, b, bl=block, pz=pool_z:
+                            conv3_lrelu_pool(x, w, b, block=bl, pool_z=pz))
             ms = timeit(fused, x, w, b)
             # correctness vs XLA at bf16 tolerance
             err = float(jnp.max(jnp.abs(
                 fused(x, w, b).astype(jnp.float32) -
                 xla(x, w, b).astype(jnp.float32))))
-            results[f"fused_{block[0]}x{block[1]}_ms"] = round(ms, 2)
-            results[f"fused_{block[0]}x{block[1]}_maxerr"] = round(err, 4)
+            results[f"{tag}_ms"] = round(ms, 2)
+            results[f"{tag}_maxerr"] = round(err, 4)
         except Exception as e:  # noqa: BLE001 - probe records failures
-            results[f"fused_{block[0]}x{block[1]}_error"] = str(e)[:200]
+            results[f"{tag}_error"] = str(e)[:200]
+        print(json.dumps({k: v for k, v in results.items() if k.startswith(tag)}),
+              flush=True)
 
     print(json.dumps(results, indent=1))
 

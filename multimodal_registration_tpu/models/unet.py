@@ -29,6 +29,8 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from multimodal_registration_tpu.ops.pool import max_pool_2x
+
 
 def _fuse_first_conv_enabled() -> bool:
     """Fused first-conv+pool Pallas kernel opt-in (MMREG_FUSED_FIRST_CONV=1).
@@ -113,7 +115,10 @@ class Unet(nn.Module):
                 continue
             x = ConvBlock(f, dtype=self.dtype, name=f"enc_{i}")(x)
             skips.append(x)
-            x = nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2))
+            # reshape-based pool: identical forward to nn.max_pool but its
+            # adjoint is elementwise selects, not XLA's SelectAndScatter
+            # (ops/pool.py; benchmarks/unet_bwd_probe.py)
+            x = max_pool_2x(x)
 
         # decoder: skips are popped deepest-first (enc_{N-1} … enc_0); the raw
         # input stays unused, matching the vxm Unet's encoder history

@@ -1,0 +1,35 @@
+"""Reshape-based 2x max-pool: forward parity with nn.max_pool + valid grads."""
+
+import numpy as np
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from multimodal_registration_tpu.ops.pool import max_pool_2x
+
+
+def test_forward_matches_nn_max_pool():
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 6, 4, 5))
+                    .astype(np.float32))
+    got = max_pool_2x(x)
+    ref = nn.max_pool(x, (2, 2, 2), (2, 2, 2))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_unbatched_rank4():
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(8, 6, 4, 3))
+                    .astype(np.float32))
+    got = max_pool_2x(x)
+    ref = nn.max_pool(x[None], (2, 2, 2), (2, 2, 2))[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_grad_matches_nn_max_pool_without_ties():
+    # continuous random values: no ties, so both adjoints route the cotangent
+    # to the unique argmax and must agree exactly
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 8, 8, 8, 4))
+                    .astype(np.float32))
+    g1 = jax.grad(lambda v: jnp.sum(max_pool_2x(v) ** 2))(x)
+    g2 = jax.grad(lambda v: jnp.sum(nn.max_pool(v, (2, 2, 2), (2, 2, 2)) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
