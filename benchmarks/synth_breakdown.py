@@ -165,7 +165,7 @@ def main(iters: int = 8, small: bool = False):
             s, t = random_flips(k_flip, (s, t))
             s = maybe_zero_borders(k_zb_s, s, tcfg.zero_bord_scale, tcfg.zero_bord_frac)
             t = maybe_zero_borders(k_zb_t, t, tcfg.zero_bord_scale, tcfg.zero_bord_frac)
-            img1, _, raw1, phi1 = labels_to_image_full(k_g1, s, cfg)
+            img1, _, raw1, phi1, _ = labels_to_image_full(k_g1, s, cfg)
             img2, map2 = labels_to_image(k_g2, t, cfg)
             return (jnp.sum(img1) + jnp.sum(raw1) + jnp.sum(phi1)
                     + jnp.sum(img2) + jnp.sum(map2))

@@ -79,7 +79,7 @@ def main(iters: int = 6, small: bool = False):
             s, t = random_flips(k_flip, (s, t))
             s = maybe_zero_borders(k_zb_s, s, cfg.zero_bord_scale, cfg.zero_bord_frac)
             t = maybe_zero_borders(k_zb_t, t, cfg.zero_bord_scale, cfg.zero_bord_frac)
-            img1, _, raw1, phi1 = labels_to_image_full(k_g1, s, trainer.engine_cfg)
+            img1, _, raw1, phi1, _ = labels_to_image_full(k_g1, s, trainer.engine_cfg)
             img2, map2 = labels_to_image(k_g2, t, trainer.engine_cfg)
             return img1, raw1, phi1, img2, map2
 
@@ -94,7 +94,7 @@ def main(iters: int = 6, small: bool = False):
             s, t = random_flips(k_flip, (s, t))
             s = maybe_zero_borders(k_zb_s, s, cfg.zero_bord_scale, cfg.zero_bord_frac)
             t = maybe_zero_borders(k_zb_t, t, cfg.zero_bord_scale, cfg.zero_bord_frac)
-            img1, _, raw1, phi1 = labels_to_image_full(k_g1, s, trainer.engine_cfg)
+            img1, _, raw1, phi1, _ = labels_to_image_full(k_g1, s, trainer.engine_cfg)
             img2, map2 = labels_to_image(k_g2, t, trainer.engine_cfg)
             return img1, raw1, phi1, img2, map2
 

@@ -86,12 +86,19 @@ def _labels_to_image_impl(
     label_map: jnp.ndarray,
     cfg: ImageEngineConfig,
 ):
-    """Core engine: returns ``(image, soft_map, phi)``."""
+    """Core engine: returns ``(image, soft_map, phi, phi_small)``.
+
+    ``phi_small`` is the generator field at the reduced integration grid
+    (vectors in small-grid units) when ``svf_int_res > 1`` divides the shape,
+    else ``None``. The trainer composes it with the model's int-res flow at
+    the SMALL grid (one cheap compose + one upsample instead of a full-res
+    compose — see ``train/trainer.py`` / PERF.md round 3)."""
     shape = label_map.shape
     L = cfg.num_labels
     (k_svf, k_mean, k_std, k_noise, k_blur, k_bias, k_gamma, k_zbg) = jax.random.split(key, 8)
 
     # 2. random diffeomorphic deformation of the label map
+    phi_small = None
     if cfg.vel_std > 0:
         r = max(int(cfg.svf_int_res), 1)
         pd = jnp.dtype(cfg.integrate_payload_dtype) if cfg.integrate_payload_dtype else None
@@ -152,21 +159,23 @@ def _labels_to_image_impl(
     # "training correctness" note). warp_onehot gathers only the integer map.
     if soft is None:
         soft = jax.nn.one_hot(lab_idx, L, dtype=jnp.float32)
-    return img, soft, phi
+    return img, soft, phi, phi_small
 
 
 def labels_to_image(key: jax.Array, label_map: jnp.ndarray, cfg: ImageEngineConfig):
     """Synthesize ``(image (X,Y,Z), soft_one_hot_map (X,Y,Z,L))`` from an
     integer label map whose values already lie in ``[0, num_labels)``."""
-    img, soft, _ = _labels_to_image_impl(key, label_map, cfg)
+    img, soft, _, _ = _labels_to_image_impl(key, label_map, cfg)
     return img, soft
 
 
 def labels_to_image_full(key, label_map, cfg: ImageEngineConfig):
     """:func:`labels_to_image` variant that additionally returns the raw
-    (pre-warp) integer label map and the generator's displacement field, so
+    (pre-warp) integer label map and the generator's displacement field —
+    full-res ``phi`` plus the reduced-grid ``phi_small`` (or ``None``) — so
     the training loss can warp labels with a single composed interpolation
-    (``warp_onehot(raw, compose(phi_gen, flow))``). Unused outputs are
+    (``warp_onehot(raw, compose(phi_gen, flow))``), composing at the reduced
+    grid when the model's int-res grid matches. Unused outputs are
     dead-code-eliminated by XLA under jit."""
-    img, soft, phi = _labels_to_image_impl(key, label_map, cfg)
-    return img, soft, label_map.astype(jnp.int32), phi
+    img, soft, phi, phi_small = _labels_to_image_impl(key, label_map, cfg)
+    return img, soft, label_map.astype(jnp.int32), phi, phi_small

@@ -73,6 +73,14 @@ class TrainConfig:
     # ~10 voxels and would hit the whole-volume fallback gather); field
     # deviation < 0.03 voxels, same policy as integrate_payload_dtype.
     compose_payload_dtype: str = "bfloat16"
+    # resolution divisor for the generator+model field composition in the
+    # loss. 2 = compose the generator's small-grid field with the model's
+    # int-res warp at that SMALL grid and upsample the result once (replaces
+    # the full-res compose, 64.5 + 74.9 ms at 160x160x192 — PERF.md round 3);
+    # falls back to full-res automatically when the two reduced grids differ.
+    # 1 = always compose at full resolution (strict reference parity;
+    # deviation between the two is second-order, bounded in test_train.py).
+    compose_res: int = 2
 
     @classmethod
     def from_json(cls, path: str) -> "TrainConfig":

@@ -33,6 +33,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from multimodal_registration_tpu.losses import dice_loss, dice_loss_zeropad, grad_loss
 from multimodal_registration_tpu.models.vxm_dense import VxmConfig, VxmDense
 from multimodal_registration_tpu.ops.field import compose_fields_batch
+from multimodal_registration_tpu.ops.resize import rescale_field
 from multimodal_registration_tpu.ops.warp import warp_onehot
 from multimodal_registration_tpu.parallel.mesh import make_mesh
 from multimodal_registration_tpu.synth.augment import maybe_zero_borders, random_flips
@@ -82,45 +83,68 @@ def make_loss_fn(model: VxmDense, engine_cfg: ImageEngineConfig, cfg: TrainConfi
                 t = maybe_zero_borders(k_zb_t, t, cfg.zero_bord_scale, cfg.zero_bord_frac)
             # src: raw labels + generator field (for the composed label warp);
             # trg: the SOFT one-hot target for the Dice loss
-            img1, _, raw1, phi1 = labels_to_image_full(k_g1, s, engine_cfg)
+            img1, _, raw1, phi1, phi1s = labels_to_image_full(k_g1, s, engine_cfg)
             img2, map2 = labels_to_image(k_g2, t, engine_cfg)
-            return img1, raw1, phi1, img2, map2
+            return img1, raw1, phi1, phi1s, img2, map2
 
         keys = jax.random.split(key, src_lab.shape[0])
         return jax.vmap(per_sample)(keys, src_lab, trg_lab)
 
     def loss_fn(params, key, src_lab, trg_lab):
-        img1, raw1, phi1, img2, map2 = synthesize(key, src_lab, trg_lab)
+        img1, raw1, phi1, phi1s, img2, map2 = synthesize(key, src_lab, trg_lab)
         out = model.apply(params, img1[..., None], img2[..., None])
         flow = out["flow_fullres"]
-        # prediction = SOFT one-hot of the raw source labels warped by the
-        # COMPOSED generator+model field. Reference semantics are the
-        # sequential pair gen-warp(map) → model-warp(map_1)
-        # (train_synthmorph.py:298); composing the fields first gives the same
-        # transform with a single interpolation, and lets warp_onehot gather
-        # only the 1-channel integer map instead of all L one-hot channels.
-        # batched compose (NOT vmap(compose_fields)): keeps the chunked
-        # warp's halo cond above the batch so both branches don't execute.
-        # bf16 payload (cfg.compose_payload_dtype) halves gather bytes →
-        # halo 16 fits the slab budget (gen fields reach ~10 voxels; the f32
-        # plan's halo 8 would fall back to the whole-volume gather).
-        cpd = jnp.dtype(cfg.compose_payload_dtype) if cfg.compose_payload_dtype else None
-        if os.environ.get("MMREG_ZLINE_COMPOSE", "0") == "1":
-            # z-line row-reduction compose (ops/warp_zline.py): the gather
-            # coordinates are the MODEL flow (smooth), so the fast path holds
-            # even under large generator fields; guarded exact fallback.
-            from multimodal_registration_tpu.ops.warp_zline import (
-                compose_fields_zline_batch,
-            )
-
-            total_field = compose_fields_zline_batch(phi1, flow, payload_dtype=cpd)
-        elif cpd is not None:
-            # gathered phi1 values in cpd; the + flow accumulation is f32
-            total_field = compose_fields_batch(phi1.astype(cpd), flow).astype(
-                jnp.float32
-            )
+        full_shape = tuple(flow.shape[1:4])
+        # Half-res compose (PERF.md round 3): phi1 is an upsample of the
+        # generator's small-grid phi1s and flow an upsample of the model's
+        # int-res warp, so when the two reduced grids coincide, composing at
+        # the SMALL grid and upsampling the result once replaces the full-res
+        # compose (64.5 ms fwd + 74.9 ms bwd at 160x160x192 — bwd_breakdown
+        # r3) with a 1/8-size compose + one rescale (~6 ms). The two differ
+        # only at second order (interpolating composed samples vs composing
+        # interpolants); deviation is bounded by tests/test_train.py.
+        if (
+            cfg.compose_res > 1
+            and phi1s is not None
+            and tuple(out["warp"].shape[1:4]) == tuple(phi1s.shape[1:4])
+        ):
+            total_half = compose_fields_batch(phi1s, out["warp"])
+            f = tuple(o / h for o, h in zip(full_shape, total_half.shape[1:4]))
+            total_field = jax.vmap(
+                lambda v: rescale_field(v, f, out_shape=full_shape)
+            )(total_half)
         else:
-            total_field = compose_fields_batch(phi1, flow)
+            # Full-res compose fallback (compose_res=1, mismatched grids, or
+            # no reduced generator field). prediction = SOFT one-hot of the
+            # raw source labels warped by the COMPOSED generator+model field.
+            # Reference semantics are the sequential pair gen-warp(map) →
+            # model-warp(map_1) (train_synthmorph.py:298); composing the
+            # fields first gives the same transform with a single
+            # interpolation, and lets warp_onehot gather only the 1-channel
+            # integer map instead of all L one-hot channels.
+            # batched compose (NOT vmap(compose_fields)): keeps the chunked
+            # warp's halo cond above the batch so both branches don't execute.
+            # bf16 payload (cfg.compose_payload_dtype) halves gather bytes →
+            # halo 16 fits the slab budget (gen fields reach ~10 voxels; the
+            # f32 plan's halo 8 would fall back to the whole-volume gather).
+            cpd = jnp.dtype(cfg.compose_payload_dtype) if cfg.compose_payload_dtype else None
+            if os.environ.get("MMREG_ZLINE_COMPOSE", "0") == "1":
+                # z-line row-reduction compose (ops/warp_zline.py): the gather
+                # coordinates are the MODEL flow (smooth), so the fast path
+                # holds even under large generator fields; guarded exact
+                # fallback.
+                from multimodal_registration_tpu.ops.warp_zline import (
+                    compose_fields_zline_batch,
+                )
+
+                total_field = compose_fields_zline_batch(phi1, flow, payload_dtype=cpd)
+            elif cpd is not None:
+                # gathered phi1 values in cpd; the + flow accumulation is f32
+                total_field = compose_fields_batch(phi1.astype(cpd), flow).astype(
+                    jnp.float32
+                )
+            else:
+                total_field = compose_fields_batch(phi1, flow)
         pred = jax.vmap(
             lambda l, f: warp_onehot(l, f, engine_cfg.num_labels)
         )(raw1, total_field)

@@ -137,6 +137,51 @@ def test_compose_payload_dtype_deviation(tmp_path):
     assert np.max(np.abs(f32 - b16)) < 0.05
 
 
+def test_compose_res_half_matches_full(tmp_path):
+    """compose_res=2 (small-grid compose + one upsample) must track the
+    full-res compose closely: both interpolate the same two half-res fields,
+    differing only at second order (interpolating composed samples vs
+    composing interpolants). Loss values must agree to ~1e-2 and gradients
+    must stay aligned — this bounds the approximation the default ships."""
+    import jax.numpy as jnp
+
+    from multimodal_registration_tpu.train.trainer import (
+        engine_config_from,
+        make_loss_fn,
+        vxm_config_from,
+    )
+    from multimodal_registration_tpu.models.vxm_dense import VxmDense
+
+    rng = np.random.default_rng(3)
+    maps = rng.integers(0, 4, size=(2, 16, 16, 16), dtype=np.uint8)
+    src = jnp.asarray(maps)
+    trg = jnp.asarray(maps[::-1].copy())
+    key = jax.random.PRNGKey(5)
+
+    losses, grads = {}, {}
+    for res in (1, 2):
+        cfg = tiny_cfg(tmp_path, compose_res=res, compose_payload_dtype="")
+        model = VxmDense(cfg=vxm_config_from(cfg))
+        dummy = jnp.zeros((1, 16, 16, 16, 1), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), dummy, dummy)
+        loss_fn = make_loss_fn(model, engine_config_from(cfg), cfg, False)
+        (loss, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, key, src, trg
+        )
+        losses[res] = float(loss)
+        grads[res] = np.concatenate(
+            [np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(g)]
+        )
+
+    assert abs(losses[1] - losses[2]) < 1e-2, losses
+    # gradient direction must agree (cosine similarity)
+    cos = float(
+        np.dot(grads[1], grads[2])
+        / (np.linalg.norm(grads[1]) * np.linalg.norm(grads[2]) + 1e-12)
+    )
+    assert cos > 0.99, cos
+
+
 def test_loaded_noncontiguous_labels_are_remapped(tmp_path):
     """gen_label=false with raw label VALUES (e.g. FreeSurfer ids): the cli
     must remap to contiguous [0, L) and size the engine to the real count
