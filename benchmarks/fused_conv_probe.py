@@ -73,7 +73,7 @@ def main():
             results[f"{tag}_ms"] = round(ms, 2)
             results[f"{tag}_maxerr"] = round(err, 4)
         except Exception as e:  # noqa: BLE001 - probe records failures
-            results[f"{tag}_error"] = str(e)[:200]
+            results[f"{tag}_error"] = str(e)[:1500]
         print(json.dumps({k: v for k, v in results.items() if k.startswith(tag)}),
               flush=True)
 

@@ -54,44 +54,44 @@ def timed(fn, *args, iters=6):
 
 
 def fwd_vs_bwd(name, model, x, res, iters):
-    params = model.init(jax.random.PRNGKey(0), x)
+    # each section survives remote-compile failures (HTTP 413 observed on
+    # this tunnel for some adjoint HLOs) so later sections still run
+    try:
+        params = model.init(jax.random.PRNGKey(0), x)
 
-    def scalar(p):
-        return jnp.sum(model.apply(p, x).astype(jnp.float32))
+        def scalar(p):
+            return jnp.sum(model.apply(p, x).astype(jnp.float32))
 
-    f = jax.jit(scalar)
-    vg = jax.jit(jax.value_and_grad(scalar))
-    res[f"{name}_fwd_ms"] = round(timed(f, params, iters=iters), 1)
-    res[f"{name}_fwd_bwd_ms"] = round(timed(vg, params, iters=iters), 1)
-    res[f"{name}_bwd_ms"] = round(
-        res[f"{name}_fwd_bwd_ms"] - res[f"{name}_fwd_ms"], 1)
+        f = jax.jit(scalar)
+        vg = jax.jit(jax.value_and_grad(scalar))
+        res[f"{name}_fwd_ms"] = round(timed(f, params, iters=iters), 1)
+        res[f"{name}_fwd_bwd_ms"] = round(timed(vg, params, iters=iters), 1)
+        res[f"{name}_bwd_ms"] = round(
+            res[f"{name}_fwd_bwd_ms"] - res[f"{name}_fwd_ms"], 1)
+    except Exception as e:  # noqa: BLE001 - probe records failures
+        res[f"{name}_error"] = str(e)[:160]
     print(json.dumps({k: res[k] for k in res if k.startswith(name)}),
           flush=True)
 
 
 class ConvLeaky(nn.Module):
     feats: tuple = (64,)
-    pool: bool = False
+    pool: str = "none"  # none | xla (nn.max_pool) | reshape (ops/pool.py)
 
     @nn.compact
     def __call__(self, x):
+        from multimodal_registration_tpu.ops.pool import max_pool_2x
+
         x = x.astype(jnp.bfloat16)
         for i, f in enumerate(self.feats):
             x = nn.Conv(f, (3, 3, 3), padding="SAME", dtype=jnp.bfloat16,
                         param_dtype=jnp.float32, name=f"c{i}")(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
-            if self.pool:
+            if self.pool == "xla":
                 x = nn.max_pool(x, (2, 2, 2), (2, 2, 2))
+            elif self.pool == "reshape":
+                x = max_pool_2x(x)
         return x
-
-
-class PoolOnly(nn.Module):
-    @nn.compact
-    def __call__(self, x):
-        # a dummy 1x1 param so value_and_grad has something to grad;
-        # the pool adjoint (SelectAndScatter) dominates
-        s = self.param("s", nn.initializers.ones, (1,), jnp.float32)
-        return nn.max_pool(x * s[0], (2, 2, 2), (2, 2, 2))
 
 
 def main(iters=6, small=False):
@@ -100,21 +100,22 @@ def main(iters=6, small=False):
     res = {"shape": list(shape)}
     x2 = jnp.asarray(rng.normal(size=(1, *shape, 2)).astype(np.float32))
 
-    fwd_vs_bwd("first_conv", ConvLeaky((64,)), x2, res, iters)
-    fwd_vs_bwd("first_convpool", ConvLeaky((64,), pool=True), x2, res, iters)
+    # the full U-Net first (now on the reshape pool) — the headline number
+    fwd_vs_bwd("unet_full",
+               Unet(enc_nf=(64,) * 4, dec_nf=(64,) * 6, nb_upsample_skips=1),
+               x2, res, iters)
 
-    x64 = jnp.asarray(
-        rng.normal(size=(1, *shape, 64)).astype(np.float32)).astype(jnp.bfloat16)
-    fwd_vs_bwd("pool_only", PoolOnly(), x64, res, iters)
+    fwd_vs_bwd("first_conv", ConvLeaky((64,)), x2, res, iters)
+    # XLA pool adjoint (SelectAndScatter) vs the reshape pool's select chain
+    fwd_vs_bwd("first_convpool", ConvLeaky((64,), pool="xla"), x2, res, iters)
+    fwd_vs_bwd("first_convrpool", ConvLeaky((64,), pool="reshape"), x2, res,
+               iters)
 
     half = tuple(s // 2 for s in shape)
     xh = jnp.asarray(
         rng.normal(size=(1, *half, 64)).astype(np.float32))
-    fwd_vs_bwd("enc_rest", ConvLeaky((64, 64, 64), pool=True), xh, res, iters)
-
-    fwd_vs_bwd("unet_full",
-               Unet(enc_nf=(64,) * 4, dec_nf=(64,) * 6, nb_upsample_skips=1),
-               x2, res, iters)
+    fwd_vs_bwd("enc_rest", ConvLeaky((64, 64, 64), pool="reshape"), xh, res,
+               iters)
     print(json.dumps(res))
 
 

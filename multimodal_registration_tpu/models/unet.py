@@ -115,9 +115,9 @@ class Unet(nn.Module):
                 continue
             x = ConvBlock(f, dtype=self.dtype, name=f"enc_{i}")(x)
             skips.append(x)
-            # reshape-based pool: identical forward to nn.max_pool but its
-            # adjoint is elementwise selects, not XLA's SelectAndScatter
-            # (ops/pool.py; benchmarks/unet_bwd_probe.py)
+            # custom-VJP pool: reduce_window forward (same HLO as
+            # nn.max_pool) + elementwise adjoint instead of XLA's
+            # SelectAndScatter (ops/pool.py; benchmarks/unet_bwd_probe.py)
             x = max_pool_2x(x)
 
         # decoder: skips are popped deepest-first (enc_{N-1} … enc_0); the raw

@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from multimodal_registration_tpu.ops.warp import warp
+from multimodal_registration_tpu.ops.warp import warp, warp_batch
 
 
 def integrate_svf(
@@ -40,6 +40,33 @@ def integrate_svf(
             inc = warp(p.astype(payload_dtype), p, interp="linear").astype(jnp.float32)
         else:
             inc = warp(p, p, interp="linear")
+        return p + inc
+
+    return jax.lax.fori_loop(0, int_steps, body, phi)
+
+
+def integrate_svf_batch(
+    vel: jnp.ndarray, int_steps: int = 5, payload_dtype=None
+) -> jnp.ndarray:
+    """Batched :func:`integrate_svf` over ``(B, X, Y, Z, 3)`` fields.
+
+    ONE rolled squaring loop for the whole batch (via :func:`warp_batch`,
+    which keeps the chunked warp's halo cond above the batch — ``vmap``
+    would execute both cond branches). The trainer stacks the source and
+    target generators' SVFs through this: the device trace showed two
+    serialized ~42 ms integration loops per step where one batched loop
+    amortizes per-iteration overhead (PERF.md round 3b).
+    """
+    if int_steps <= 0:
+        return vel
+    phi = vel.astype(jnp.float32) / (2.0**int_steps)
+
+    def body(_, p):
+        if payload_dtype is not None:
+            inc = warp_batch(p.astype(payload_dtype), p, interp="linear").astype(
+                jnp.float32)
+        else:
+            inc = warp_batch(p, p, interp="linear")
         return p + inc
 
     return jax.lax.fori_loop(0, int_steps, body, phi)

@@ -69,7 +69,10 @@ def resize(vol: jnp.ndarray, zoom, out_shape=None) -> jnp.ndarray:
         2 * s for s in in_shape
     ):
         v = vol.astype(vol.dtype if jnp.issubdtype(vol.dtype, jnp.floating) else jnp.float32)
-        for ax in range(3):
+        # minor-axis-first order measured 12% faster than major-first
+        # (rescale_probe.py B: 2.52 vs 2.87 ms at 96³→192³x3, maxerr 0) —
+        # the z interleave runs while rows are still the short input length
+        for ax in (2, 1, 0):
             v = _upsample2x_axis(v, ax)
         return v[..., 0] if squeeze else v
     if (all(float(z) == 0.5 for z in zoom)

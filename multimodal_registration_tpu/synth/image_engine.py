@@ -81,10 +81,37 @@ def _gaussian_blur(img: jnp.ndarray, sigma: jnp.ndarray, radius: int) -> jnp.nda
     return out
 
 
+def reduced_svf_grid(shape, cfg: ImageEngineConfig):
+    """The reduced integration grid for ``shape``, or ``None`` when the
+    engine would integrate at full resolution (``svf_int_res`` 1 or not a
+    divisor)."""
+    r = max(int(cfg.svf_int_res), 1)
+    if cfg.vel_std > 0 and r > 1 and all(s % r == 0 for s in shape):
+        return tuple(s // r for s in shape)
+    return None
+
+
+def draw_svf_small(key: jax.Array, shape, cfg: ImageEngineConfig):
+    """Draw the generator SVF at the reduced grid (small-grid units),
+    consuming exactly the key schedule :func:`_labels_to_image_impl` uses —
+    so a caller can pre-integrate a STACKED batch of SVFs through
+    ``integrate_svf_batch`` (one rolled loop for all samples) and hand the
+    result back via ``phi_small``. Returns ``None`` when the reduced path
+    doesn't apply (caller falls back to the in-engine draw)."""
+    small = reduced_svf_grid(shape, cfg)
+    if small is None:
+        return None
+    r = max(int(cfg.svf_int_res), 1)
+    k_svf = jax.random.split(key, 8)[0]
+    svf = draw_perlin(k_svf, (*small, 3), [cfg.vel_res / r], max_std=cfg.vel_std)
+    return svf / r
+
+
 def _labels_to_image_impl(
     key: jax.Array,
     label_map: jnp.ndarray,
     cfg: ImageEngineConfig,
+    phi_small_pre=None,
 ):
     """Core engine: returns ``(image, soft_map, phi, phi_small)``.
 
@@ -92,7 +119,11 @@ def _labels_to_image_impl(
     (vectors in small-grid units) when ``svf_int_res > 1`` divides the shape,
     else ``None``. The trainer composes it with the model's int-res flow at
     the SMALL grid (one cheap compose + one upsample instead of a full-res
-    compose — see ``train/trainer.py`` / PERF.md round 3)."""
+    compose — see ``train/trainer.py`` / PERF.md round 3).
+
+    ``phi_small_pre``: an already-integrated reduced-grid field (from
+    :func:`draw_svf_small` + ``integrate_svf_batch``); skips the in-engine
+    draw+integrate but consumes the same keys, so results are identical."""
     shape = label_map.shape
     L = cfg.num_labels
     (k_svf, k_mean, k_std, k_noise, k_blur, k_bias, k_gamma, k_zbg) = jax.random.split(key, 8)
@@ -102,7 +133,11 @@ def _labels_to_image_impl(
     if cfg.vel_std > 0:
         r = max(int(cfg.svf_int_res), 1)
         pd = jnp.dtype(cfg.integrate_payload_dtype) if cfg.integrate_payload_dtype else None
-        if r > 1 and all(s % r == 0 for s in shape):
+        if phi_small_pre is not None:
+            assert reduced_svf_grid(shape, cfg) is not None
+            phi_small = phi_small_pre
+            phi = rescale_field(phi_small, float(r), out_shape=shape)
+        elif r > 1 and all(s % r == 0 for s in shape):
             small = tuple(s // r for s in shape)
             svf = draw_perlin(k_svf, (*small, 3), [cfg.vel_res / r], max_std=cfg.vel_std)
             # integrate at reduced res (vectors in small-grid units), then
@@ -162,14 +197,16 @@ def _labels_to_image_impl(
     return img, soft, phi, phi_small
 
 
-def labels_to_image(key: jax.Array, label_map: jnp.ndarray, cfg: ImageEngineConfig):
+def labels_to_image(key: jax.Array, label_map: jnp.ndarray, cfg: ImageEngineConfig,
+                    phi_small_pre=None):
     """Synthesize ``(image (X,Y,Z), soft_one_hot_map (X,Y,Z,L))`` from an
     integer label map whose values already lie in ``[0, num_labels)``."""
-    img, soft, _, _ = _labels_to_image_impl(key, label_map, cfg)
+    img, soft, _, _ = _labels_to_image_impl(key, label_map, cfg, phi_small_pre)
     return img, soft
 
 
-def labels_to_image_full(key, label_map, cfg: ImageEngineConfig):
+def labels_to_image_full(key, label_map, cfg: ImageEngineConfig,
+                         phi_small_pre=None):
     """:func:`labels_to_image` variant that additionally returns the raw
     (pre-warp) integer label map and the generator's displacement field —
     full-res ``phi`` plus the reduced-grid ``phi_small`` (or ``None``) — so
@@ -177,5 +214,6 @@ def labels_to_image_full(key, label_map, cfg: ImageEngineConfig):
     (``warp_onehot(raw, compose(phi_gen, flow))``), composing at the reduced
     grid when the model's int-res grid matches. Unused outputs are
     dead-code-eliminated by XLA under jit."""
-    img, soft, phi, phi_small = _labels_to_image_impl(key, label_map, cfg)
+    img, soft, phi, phi_small = _labels_to_image_impl(key, label_map, cfg,
+                                                      phi_small_pre)
     return img, soft, label_map.astype(jnp.int32), phi, phi_small

@@ -37,10 +37,13 @@ from multimodal_registration_tpu.ops.resize import rescale_field
 from multimodal_registration_tpu.ops.warp import warp_onehot
 from multimodal_registration_tpu.parallel.mesh import make_mesh
 from multimodal_registration_tpu.synth.augment import maybe_zero_borders, random_flips
+from multimodal_registration_tpu.ops.integrate import integrate_svf_batch
 from multimodal_registration_tpu.synth.image_engine import (
     ImageEngineConfig,
+    draw_svf_small,
     labels_to_image,
     labels_to_image_full,
+    reduced_svf_grid,
 )
 from multimodal_registration_tpu.train.config import TrainConfig
 
@@ -75,20 +78,52 @@ def make_loss_fn(model: VxmDense, engine_cfg: ImageEngineConfig, cfg: TrainConfi
     use_zeropad = cfg.zero_borders_maps or cfg.zero_borders_maps_val
 
     def synthesize(key, src_lab, trg_lab):
-        def per_sample(k, s, t):
+        in_shape = tuple(src_lab.shape[1:4])
+        reduced = reduced_svf_grid(in_shape, engine_cfg)
+        pd = (jnp.dtype(engine_cfg.integrate_payload_dtype)
+              if engine_cfg.integrate_payload_dtype else None)
+
+        def augment(k, s, t):
             k_flip, k_zb_s, k_zb_t, k_g1, k_g2 = jax.random.split(k, 5)
             s, t = random_flips(k_flip, (s, t))
             if zero_borders:
                 s = maybe_zero_borders(k_zb_s, s, cfg.zero_bord_scale, cfg.zero_bord_frac)
                 t = maybe_zero_borders(k_zb_t, t, cfg.zero_bord_scale, cfg.zero_bord_frac)
+            return s, t, k_g1, k_g2
+
+        keys = jax.random.split(key, src_lab.shape[0])
+        s, t, kg1, kg2 = jax.vmap(augment)(keys, src_lab, trg_lab)
+
+        if reduced is not None:
+            # pre-integrate BOTH generators' SVFs in ONE batched rolled loop
+            # (2B fields) instead of two serialized per-sample loops — the
+            # device trace showed the two ~42 ms integration whiles as the
+            # step's biggest block (PERF.md round 3b). Keys consumed match
+            # the in-engine draw exactly, so the fields are identical.
+            draw = jax.vmap(
+                lambda k: draw_svf_small(k, in_shape, engine_cfg)
+            )
+            svfs = jnp.concatenate([draw(kg1), draw(kg2)], axis=0)
+            phis = integrate_svf_batch(svfs, engine_cfg.int_steps,
+                                       payload_dtype=pd)
+            B = src_lab.shape[0]
+            ph1, ph2 = phis[:B], phis[B:]
+            img1, _, raw1, phi1, phi1s = jax.vmap(
+                lambda k, lab, p: labels_to_image_full(k, lab, engine_cfg, p)
+            )(kg1, s, ph1)
+            img2, map2 = jax.vmap(
+                lambda k, lab, p: labels_to_image(k, lab, engine_cfg, p)
+            )(kg2, t, ph2)
+            return img1, raw1, phi1, phi1s, img2, map2
+
+        def per_sample(k_g1, k_g2, s, t):
             # src: raw labels + generator field (for the composed label warp);
             # trg: the SOFT one-hot target for the Dice loss
             img1, _, raw1, phi1, phi1s = labels_to_image_full(k_g1, s, engine_cfg)
             img2, map2 = labels_to_image(k_g2, t, engine_cfg)
             return img1, raw1, phi1, phi1s, img2, map2
 
-        keys = jax.random.split(key, src_lab.shape[0])
-        return jax.vmap(per_sample)(keys, src_lab, trg_lab)
+        return jax.vmap(per_sample)(kg1, kg2, s, t)
 
     def loss_fn(params, key, src_lab, trg_lab):
         img1, raw1, phi1, phi1s, img2, map2 = synthesize(key, src_lab, trg_lab)

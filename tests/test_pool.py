@@ -25,6 +25,20 @@ def test_unbatched_rank4():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_pallas_bwd_kernel_matches_autodiff_interpret():
+    """The VMEM-tiled pool-adjoint kernel (interpret mode) must equal the
+    SelectAndScatter routing exactly when there are no ties."""
+    from multimodal_registration_tpu.ops.pallas.pool_bwd import max_pool_2x_bwd
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(16, 16, 8, 5)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(8, 8, 4, 5)).astype(np.float32))
+    _, vjp = jax.vjp(lambda v: nn.max_pool(v[None], (2, 2, 2), (2, 2, 2))[0], x)
+    ref = vjp(g)[0]
+    got = max_pool_2x_bwd(x, g, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
 def test_grad_matches_nn_max_pool_without_ties():
     # continuous random values: no ties, so both adjoints route the cotangent
     # to the unique argmax and must agree exactly

@@ -259,3 +259,44 @@ def test_generate_label_map_still_deterministic_and_valid():
                             im_scales=(4, 8), def_scales=(4, 8))
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     assert m1.dtype == np.uint8 and int(np.asarray(m1).max()) < 5
+
+
+def test_preintegrated_svf_path_matches_in_engine_draw():
+    """labels_to_image_full with a pre-integrated phi_small (the trainer's
+    batched-integration path) must reproduce the in-engine draw+integrate
+    exactly — same key schedule, same field, same image."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_registration_tpu.ops.integrate import (
+        integrate_svf,
+        integrate_svf_batch,
+    )
+    from multimodal_registration_tpu.synth.image_engine import (
+        ImageEngineConfig,
+        draw_svf_small,
+        labels_to_image_full,
+    )
+
+    cfg = ImageEngineConfig(num_labels=5, vel_res=4.0, bias_res=8.0)
+    shape = (12, 12, 12)
+    rng = np.random.default_rng(0)
+    lab = jnp.asarray(rng.integers(0, 5, size=shape, dtype=np.uint8))
+    key = jax.random.PRNGKey(11)
+    pd = jnp.dtype(cfg.integrate_payload_dtype)
+
+    ref = labels_to_image_full(key, lab, cfg)
+
+    svf = draw_svf_small(key, shape, cfg)
+    assert svf is not None
+    phi_small = integrate_svf(svf, cfg.int_steps, payload_dtype=pd)
+    got = labels_to_image_full(key, lab, cfg, phi_small)
+
+    for a, b, tol in zip(ref, got, (1e-5, 1e-5, 0, 1e-5, 1e-5)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), atol=tol)
+
+    # the batched integrator must agree with the per-sample one
+    phi_b = integrate_svf_batch(svf[None], cfg.int_steps, payload_dtype=pd)[0]
+    np.testing.assert_allclose(np.asarray(phi_b), np.asarray(phi_small),
+                               atol=1e-5)
