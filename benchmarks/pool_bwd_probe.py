@@ -78,7 +78,7 @@ def main(iters=8, small=False):
     from multimodal_registration_tpu.ops.pallas.pool_bwd import max_pool_2x_bwd
 
     ref = np.asarray(a_j(x, g).astype(jnp.float32))
-    for blk in ((8, 8), (8, 16), (16, 16), (4, 32)):
+    for blk in ((2, 8), (4, 4), (4, 8), (8, 8)):
         tag = f"pallas_{blk[0]}x{blk[1]}"
         try:
             c_j = jax.jit(lambda xx, gg, b=blk: max_pool_2x_bwd(xx, gg, block=b))

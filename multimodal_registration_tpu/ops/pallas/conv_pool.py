@@ -8,6 +8,16 @@ short, so enc_0's full-res output feeds ONLY the max-pool). Fusing
 conv + LeakyReLU(0.2) + maxpool(2) writes the half-res pooled tensor
 directly: ~150 MB of HBM traffic instead of ~1.9 GB.
 
+STATUS (bisect round 5, 2026-08-17): interpret-validated but does NOT
+compile on this hardware backend. Every im2col variant (bf16/f32 scratch,
+K=54/64, 4-D/2-D scratch, single matmul / 54 rank-1 updates) dies on the
+same op — ``tpu.reshape vector<54x4x16x192> -> vector<54x12288>``
+("infer-vector-layout: unsupported shape cast"): merging sublane spatial
+dims into the lane axis is unsupported, and an im2col conv requires that
+flatten. Keep opt-in (MMREG_FUSED_FIRST_CONV) for backends whose Mosaic
+accepts it; the XLA conv path is the supported default. Full probe history
+in PERF.md round 3c.
+
 Kernel design, v2 — shaped by the Mosaic remote-compiler bisect
 (benchmarks/mosaic_bisect{,2,3,4}_probe.py, 2026-08-17). This backend's
 compiler HTTP-500s on (a) lane-axis ``jnp.concatenate`` in bf16 (f32 passes),

@@ -1,19 +1,23 @@
 """Pallas TPU kernel for the 2x2x2 max-pool ADJOINT.
 
 Every XLA-level formulation of the non-overlapping max-pool backward at
-(160,160,192,64) bf16 costs ~80 ms — SelectAndScatter 78.7, elementwise
-mask/count 87.4, pair-split autodiff ~equal (benchmarks/unet_bwd_probe.py) —
-while the traffic roofline (read x + read g + write grad ≈ 1.4 GB) is
-~2-4 ms. The operation is purely local per 2x2x2 window, so a VMEM-tiled
-kernel closes the gap: recompute the three pair-max stages inside the tile
-and route the cotangent back down with pairwise >=/> selects ("first tie
-wins", SelectAndScatter semantics).
+(160,160,192,64) bf16 costs ~34-36 ms — SelectAndScatter 34.2, elementwise
+mask/count 36.2 (benchmarks/pool_bwd_probe.py) — while the traffic roofline
+(read x + read g + write grad ≈ 1.4 GB) is ~2-4 ms. The operation is purely
+local per 2x2x2 window, so a VMEM-tiled kernel closes the gap: recompute the
+pair-max stages inside the tile and route the cotangent back with pairwise
+>=/> selects ("first tie wins", SelectAndScatter semantics).
 
-Mosaic constraints honored (bisect rounds 2-5, PERF.md): no gathers, no
-lane-axis concat, no strided slices, no matmul — only pair-split reshapes
-and static slices on SUBLANE axes (the channel lane axis is never touched)
-plus elementwise select/max. The layout is NHWC with C minor, so x/y/z pair
-splits are all sublane-side.
+Mosaic constraints honored (bisect rounds 2-5 + two probe rounds, PERF.md):
+no gathers, no matmul, no strided slices, no bf16 vector compares (cast to
+f32: "Target does not support this comparison"), and NO reshapes that touch
+the two minor (sublane/lane) axes — ``tpu.reshape`` splitting or inserting
+dims next to the lane axis is an "unsupported shape cast". The z axis is
+therefore pair-split OUTSIDE the kernel (XLA even/odd strided slices); the
+kernel sees ``xe``/``xo`` half-z volumes, does x/y pair splits on LEADING
+axes only, routes the z pair elementwise, and writes two half-z gradient
+outputs that XLA re-interleaves. The three XLA-side passes are plain
+slice/stack copies (~2-4 ms total at this size).
 
 Parity: gradient of ``nn.max_pool(x, (2,2,2), (2,2,2))`` as used between
 U-Net encoder levels (`train_synthmorph.py:276`).
@@ -29,9 +33,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _split2(v, axis):
-    """(…, 2n, …) -> a=v[…, 0::2, …], b=v[…, 1::2, …] via pair-split reshape
-    + static unit slices (strided slices are rejected by this Mosaic)."""
+def _split2_lead(v, axis):
+    """Pair-split along a LEADING axis (axis < v.ndim - 2): reshape + static
+    unit slices. Never touches the sublane/lane axes."""
     s = v.shape
     w = v.reshape(*s[:axis], s[axis] // 2, 2, *s[axis + 1:])
     idx_a = (slice(None),) * (axis + 1) + (0,)
@@ -39,38 +43,42 @@ def _split2(v, axis):
     return w[idx_a], w[idx_b]
 
 
-def _merge2(a, b, axis):
-    """Inverse of _split2: interleave a, b along ``axis``."""
+def _merge2_lead(a, b, axis):
+    """Interleave along a LEADING axis (inverse of _split2_lead)."""
     s = a.shape
     w = jnp.stack([a, b], axis=axis + 1)
     return w.reshape(*s[:axis], 2 * s[axis], *s[axis + 1:])
 
 
 def _route(a, b, g):
-    """Adjoint of max(a, b): cotangent to a where a >= b else to b."""
-    ge = a >= b
+    """Adjoint of max(a, b): cotangent to a where a >= b else to b.
+
+    Compares run in f32 — this Mosaic rejects bf16 vector comparisons."""
+    ge = a.astype(jnp.float32) >= b.astype(jnp.float32)
     zero = jnp.zeros((), g.dtype)
     return jnp.where(ge, g, zero), jnp.where(ge, zero, g)
 
 
-def _kernel(x_ref, g_ref, out_ref):
-    x = x_ref[:]          # (FX, FY, Z, C)
+def _kernel(xe_ref, xo_ref, g_ref, ge_ref, go_ref):
+    xe = xe_ref[:]        # (FX, FY, Z/2, C) — even-z planes
+    xo = xo_ref[:]        # (FX, FY, Z/2, C) — odd-z planes
     g = g_ref[:]          # (FX/2, FY/2, Z/2, C)
 
-    # forward recompute (pair maxes, all sublane-axis splits)
-    xa, xb = _split2(x, 0)
-    x1 = jnp.maximum(xa, xb)            # (FX/2, FY, Z, C)
-    ya, yb = _split2(x1, 1)
-    x2 = jnp.maximum(ya, yb)            # (FX/2, FY/2, Z, C)
-    za, zb = _split2(x2, 2)             # (FX/2, FY/2, Z/2, C)
+    # forward recompute: z pair first (elementwise), then x/y pair maxes on
+    # leading axes
+    mz = jnp.maximum(xe, xo)            # (FX, FY, Z/2, C)
+    xa, xb = _split2_lead(mz, 0)
+    mx = jnp.maximum(xa, xb)            # (FX/2, FY, Z/2, C)
+    ya, yb = _split2_lead(mx, 1)
 
-    # backward routing
-    g_za, g_zb = _route(za, zb, g)
-    g_x2 = _merge2(g_za, g_zb, 2)       # (FX/2, FY/2, Z, C)
-    g_ya, g_yb = _route(ya, yb, g_x2)
-    g_x1 = _merge2(g_ya, g_yb, 1)       # (FX/2, FY, Z, C)
-    g_xa, g_xb = _route(xa, xb, g_x1)
-    out_ref[:] = _merge2(g_xa, g_xb, 0).astype(out_ref.dtype)
+    # backward routing (reverse order)
+    g_ya, g_yb = _route(ya, yb, g)
+    g_mx = _merge2_lead(g_ya, g_yb, 1)  # (FX/2, FY, Z/2, C)
+    g_xa, g_xb = _route(xa, xb, g_mx)
+    g_mz = _merge2_lead(g_xa, g_xb, 0)  # (FX, FY, Z/2, C)
+    g_e, g_o = _route(xe, xo, g_mz)     # elementwise z routing
+    ge_ref[:] = g_e.astype(ge_ref.dtype)
+    go_ref[:] = g_o.astype(go_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
@@ -80,31 +88,44 @@ def max_pool_2x_bwd(x, g, block=(8, 8), interpret: bool = False):
     Args:
       x: pool input ``(X, Y, Z, C)`` (even spatial dims).
       g: cotangent of the pooled output ``(X/2, Y/2, Z/2, C)``.
-      block: full-res tile ``(fx, fy)``; each program covers full Z and C.
+      block: full-res tile ``(fx, fy)``; each program covers full Z/2 and C.
 
     Returns ``(X, Y, Z, C)`` with SelectAndScatter's first-tie routing.
     """
     X, Y, Z, C = x.shape
-    FX, FY = block
-    FX, FY = min(FX, X), min(FY, Y)
-    assert X % FX == 0 and Y % FY == 0 and FX % 2 == FY % 2 == 0
-    assert Z % 2 == 0 and g.shape == (X // 2, Y // 2, Z // 2, C), (
-        x.shape, g.shape)
-    NX, NY = X // FX, Y // FY
 
-    # block index maps tile (X, Y) directly — no XLA-side reshuffle copies
-    return pl.pallas_call(
+    def fit(n, want):
+        # largest EVEN divisor of n not exceeding want (tiles must hold whole
+        # pool windows); n is even for any pool input
+        for d in range(min(want, n), 1, -1):
+            if d % 2 == 0 and n % d == 0:
+                return d
+        return 2
+
+    FX, FY = fit(X, block[0]), fit(Y, block[1])
+    assert X % 2 == Y % 2 == Z % 2 == 0 and g.shape == (
+        X // 2, Y // 2, Z // 2, C), (x.shape, g.shape)
+    NX, NY = X // FX, Y // FY
+    Zh = Z // 2
+
+    # z pair split on the XLA side (in-kernel z reshapes are unsupported
+    # layout casts on this backend)
+    xs = x.reshape(X, Y, Zh, 2, C)
+    xe, xo = xs[:, :, :, 0], xs[:, :, :, 1]
+
+    half = pl.BlockSpec((FX, FY, Zh, C), lambda i, j: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    ge, go = pl.pallas_call(
         _kernel,
         grid=(NX, NY),
-        in_specs=[
-            pl.BlockSpec((FX, FY, Z, C), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((FX // 2, FY // 2, Z // 2, C),
-                         lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((FX, FY, Z, C), lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((X, Y, Z, C), x.dtype),
+        in_specs=[half, half,
+                  pl.BlockSpec((FX // 2, FY // 2, Zh, C),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[half, half],
+        out_shape=[jax.ShapeDtypeStruct((X, Y, Zh, C), x.dtype)] * 2,
         interpret=interpret,
-    )(x, g)
+    )(xe, xo, g)
+
+    # re-interleave the two half-z gradients (one XLA pass)
+    return jnp.stack([ge, go], axis=3).reshape(X, Y, Z, C)

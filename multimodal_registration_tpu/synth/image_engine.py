@@ -164,7 +164,19 @@ def _labels_to_image_impl(
         zero_bg = jax.random.uniform(k_zbg, ()) < cfg.zero_background
         means = means.at[0].set(jnp.where(zero_bg, 0.0, means[0]))
         stds = stds.at[0].set(jnp.where(zero_bg, 0.0, stds[0]))
-    img = means[lab_idx] + stds[lab_idx] * jax.random.normal(k_noise, shape)
+    # NOT means[lab_idx]: a tiny-table gather over the full volume runs on
+    # the TPU gather engine at ~0.13 G lookups/s — 37 ms per lookup at
+    # 160x160x192, 148 ms/step across means/stds x src/trg (train_profile
+    # round 3b). The L-way select chain below is pure VPU and fuses with
+    # the noise multiply (~1-2 ms), sharing one comparison per label for
+    # both tables.
+    img_mean = jnp.full(shape, means[0], jnp.float32)
+    img_std = jnp.full(shape, stds[0], jnp.float32)
+    for l in range(1, L):
+        sel = lab_idx == l
+        img_mean = jnp.where(sel, means[l], img_mean)
+        img_std = jnp.where(sel, stds[l], img_std)
+    img = img_mean + img_std * jax.random.normal(k_noise, shape)
 
     # 4. blur
     if cfg.blur_std > 0:

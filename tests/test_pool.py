@@ -39,6 +39,20 @@ def test_pallas_bwd_kernel_matches_autodiff_interpret():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
 
 
+def test_pallas_bwd_kernel_odd_blocks_interpret():
+    """Deep U-Net levels have dims not divisible by the default block (e.g.
+    20x20x24); the adaptive block fit must keep the kernel exact."""
+    from multimodal_registration_tpu.ops.pallas.pool_bwd import max_pool_2x_bwd
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(20, 20, 24, 7)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(10, 10, 12, 7)).astype(np.float32))
+    _, vjp = jax.vjp(lambda v: nn.max_pool(v[None], (2, 2, 2), (2, 2, 2))[0], x)
+    np.testing.assert_allclose(
+        np.asarray(max_pool_2x_bwd(x, g, interpret=True)),
+        np.asarray(vjp(g)[0]), atol=1e-6)
+
+
 def test_grad_matches_nn_max_pool_without_ties():
     # continuous random values: no ties, so both adjoints route the cotangent
     # to the unique argmax and must agree exactly
