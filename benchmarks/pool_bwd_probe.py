@@ -77,11 +77,21 @@ def main(iters=8, small=False):
     # C) Pallas VMEM-tiled kernel, block sweep
     from multimodal_registration_tpu.ops.pallas.pool_bwd import max_pool_2x_bwd
 
+    from multimodal_registration_tpu.ops.pallas.pool_bwd import (
+        max_pool_2x_bwd_v3,
+    )
+
     ref = np.asarray(a_j(x, g).astype(jnp.float32))
-    for blk in ((2, 8), (4, 4), (4, 8), (8, 8)):
-        tag = f"pallas_{blk[0]}x{blk[1]}"
+    for blk, fn, ver in (
+        ((4, 8), max_pool_2x_bwd, "v2"),
+        ((2, 4), max_pool_2x_bwd_v3, "v3"),
+        ((2, 16), max_pool_2x_bwd_v3, "v3"),
+        ((2, 8), max_pool_2x_bwd_v3, "v3"),
+        ((4, 8), max_pool_2x_bwd_v3, "v3"),
+    ):
+        tag = f"pallas_{ver}_{blk[0]}x{blk[1]}"
         try:
-            c_j = jax.jit(lambda xx, gg, b=blk: max_pool_2x_bwd(xx, gg, block=b))
+            c_j = jax.jit(lambda xx, gg, b=blk, f=fn: f(xx, gg, block=b))
             ms = timed(c_j, x, g, iters=iters)
             err = float(np.max(np.abs(
                 np.asarray(c_j(x, g).astype(jnp.float32)) - ref)))

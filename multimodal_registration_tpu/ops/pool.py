@@ -54,7 +54,11 @@ def _fwd(x):
 def _pallas_pool_bwd_enabled() -> bool:
     import os
 
-    return os.environ.get("MMREG_PALLAS_POOL_BWD", "0") == "1"
+    if os.environ.get("MMREG_PALLAS_POOL_BWD", "0") != "1":
+        return False
+    # the kernel is TPU-only (Mosaic); on other backends fall through to the
+    # XLA adjoint rather than failing in pallas_call
+    return jax.default_backend() not in ("cpu", "gpu")
 
 
 def _bwd(res, g):
@@ -62,15 +66,16 @@ def _bwd(res, g):
     if _pallas_pool_bwd_enabled() and x.ndim in (4, 5) and (
         x.ndim == 4 or x.shape[0] == 1
     ):
-        # VMEM-tiled adjoint kernel — every XLA formulation measured ~80 ms
-        # at (160,160,192,64) vs a ~2-4 ms traffic roofline (PERF.md r3b)
+        # VMEM-tiled adjoint kernel (v3: roll-based z pairing) — the XLA
+        # formulations measure ~34-36 ms at (160,160,192,64) vs the kernel's
+        # single-pass traffic (PERF.md round 3c)
         from multimodal_registration_tpu.ops.pallas.pool_bwd import (
-            max_pool_2x_bwd,
+            max_pool_2x_bwd_v3,
         )
 
         if x.ndim == 5:
-            return (max_pool_2x_bwd(x[0], g[0])[None].astype(x.dtype),)
-        return (max_pool_2x_bwd(x, g).astype(x.dtype),)
+            return (max_pool_2x_bwd_v3(x[0], g[0])[None].astype(x.dtype),)
+        return (max_pool_2x_bwd_v3(x, g).astype(x.dtype),)
     yb = _upsample_nearest_2x(y)
     gb = _upsample_nearest_2x(g)
     mask = (x == yb)

@@ -53,6 +53,40 @@ def test_pallas_bwd_kernel_odd_blocks_interpret():
         np.asarray(vjp(g)[0]), atol=1e-6)
 
 
+def test_pallas_bwd_v3_matches_autodiff_interpret():
+    """v3 (roll-based z pairing, no XLA split/interleave) must equal the
+    SelectAndScatter routing exactly when there are no ties, including at
+    deep-level shapes needing the adaptive block fit."""
+    from multimodal_registration_tpu.ops.pallas.pool_bwd import max_pool_2x_bwd_v3
+
+    rng = np.random.default_rng(9)
+    for shape in ((16, 16, 8, 5), (20, 20, 24, 7)):
+        half = tuple(s // 2 for s in shape[:3]) + shape[3:]
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=half).astype(np.float32))
+        _, vjp = jax.vjp(
+            lambda v: nn.max_pool(v[None], (2, 2, 2), (2, 2, 2))[0], x)
+        np.testing.assert_allclose(
+            np.asarray(max_pool_2x_bwd_v3(x, g, interpret=True)),
+            np.asarray(vjp(g)[0]), atol=1e-6)
+
+
+def test_pallas_bwd_v3_tie_semantics_match_v2():
+    """On tie-heavy integer-valued input the two kernels must route
+    identically (z-first, then x, then y; lower index wins each stage)."""
+    from multimodal_registration_tpu.ops.pallas.pool_bwd import (
+        max_pool_2x_bwd,
+        max_pool_2x_bwd_v3,
+    )
+
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.integers(0, 3, size=(8, 8, 8, 4)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(4, 4, 4, 4)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(max_pool_2x_bwd_v3(x, g, interpret=True)),
+        np.asarray(max_pool_2x_bwd(x, g, interpret=True)))
+
+
 def test_grad_matches_nn_max_pool_without_ties():
     # continuous random values: no ties, so both adjoints route the cotangent
     # to the unique argmax and must agree exactly
