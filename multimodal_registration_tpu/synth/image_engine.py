@@ -63,12 +63,16 @@ class ImageEngineConfig:
     blur_radius: int = 3  # static kernel radius (≥ 3·blur_std covers the mass)
 
 
-def _gaussian_blur(img: jnp.ndarray, sigma: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """Separable 3-D Gaussian blur with traced sigma and static kernel width."""
+def _blur_kernel(sigma: jnp.ndarray, radius: int) -> jnp.ndarray:
     x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     sig = jnp.maximum(sigma, 1e-4)
     k = jnp.exp(-0.5 * (x / sig) ** 2)
-    k = k / jnp.sum(k)
+    return k / jnp.sum(k)
+
+
+def _gaussian_blur_convolve(img, sigma, radius: int):
+    """Separable blur via per-column ``jnp.convolve`` (historical default)."""
+    k = _blur_kernel(sigma, radius)
     out = img
     for axis in range(3):
         perm = [axis] + [a for a in range(3) if a != axis]
@@ -79,6 +83,47 @@ def _gaussian_blur(img: jnp.ndarray, sigma: jnp.ndarray, radius: int) -> jnp.nda
             v.reshape([img.shape[p] for p in perm]), inv
         )
     return out
+
+
+def _gaussian_blur_shifts(img, sigma, radius: int):
+    """Separable blur as 2r+1 shifted multiply-adds per axis.
+
+    Same zero-padded 'same' semantics as :func:`_gaussian_blur_convolve`
+    (the Gaussian kernel is symmetric, so convolution == correlation), but
+    expressed as pad + static slices + fused VPU multiply-adds — no batched
+    1-D conv lowering, no transposes. Traffic floor at (160,160,192) f32 is
+    ~1.3 ms for both images; the convolve form pays transpose copies and a
+    (M,1,N)-batched conv per axis.
+    """
+    k = _blur_kernel(sigma, radius)
+    out = img
+    for axis in range(3):
+        pad = [(radius, radius) if a == axis else (0, 0) for a in range(3)]
+        p = jnp.pad(out, pad)
+        acc = None
+        for d in range(2 * radius + 1):
+            sl = [slice(None)] * 3
+            sl[axis] = slice(d, d + img.shape[axis])
+            term = k[d] * p[tuple(sl)]
+            acc = term if acc is None else acc + term
+        out = acc
+    return out
+
+
+def _gaussian_blur(img: jnp.ndarray, sigma: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Separable 3-D Gaussian blur with traced sigma and static kernel width.
+
+    ``MMREG_BLUR_MODE`` selects the lowering: ``convolve`` (the per-column
+    ``jnp.convolve`` form, the measured-in-production default) or ``shifts``
+    (pad + static-slice multiply-adds, fuses on the VPU). Both compute the
+    same zero-padded separable convolution; the default flips only on a
+    hardware win — see ``benchmarks/blur_probe.py``.
+    """
+    import os
+
+    if os.environ.get("MMREG_BLUR_MODE", "convolve") == "shifts":
+        return _gaussian_blur_shifts(img, sigma, radius)
+    return _gaussian_blur_convolve(img, sigma, radius)
 
 
 def reduced_svf_grid(shape, cfg: ImageEngineConfig):

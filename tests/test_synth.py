@@ -300,3 +300,32 @@ def test_preintegrated_svf_path_matches_in_engine_draw():
     phi_b = integrate_svf_batch(svf[None], cfg.int_steps, payload_dtype=pd)[0]
     np.testing.assert_allclose(np.asarray(phi_b), np.asarray(phi_small),
                                atol=1e-5)
+
+
+class TestBlurModes:
+    def test_shifts_matches_convolve(self):
+        """The shift-based separable blur must equal the per-column convolve
+        lowering (same zero-padded kernel; summation order differs -> fp32
+        tolerance). Probed head-to-head on TPU by benchmarks/blur_probe.py."""
+        from multimodal_registration_tpu.synth.image_engine import (
+            _gaussian_blur_convolve,
+            _gaussian_blur_shifts,
+        )
+
+        rng = np.random.default_rng(11)
+        img = jnp.asarray(rng.normal(size=(13, 9, 17)).astype(np.float32))
+        for sigma in (0.0, 0.4, 1.0):
+            a = np.asarray(_gaussian_blur_convolve(img, jnp.float32(sigma), 3))
+            b = np.asarray(_gaussian_blur_shifts(img, jnp.float32(sigma), 3))
+            np.testing.assert_allclose(a, b, atol=2e-6, rtol=1e-5)
+
+    def test_blur_mode_env_switch(self, monkeypatch):
+        from multimodal_registration_tpu.synth.image_engine import _gaussian_blur
+
+        rng = np.random.default_rng(12)
+        img = jnp.asarray(rng.normal(size=(8, 8, 8)).astype(np.float32))
+        monkeypatch.setenv("MMREG_BLUR_MODE", "convolve")
+        a = np.asarray(_gaussian_blur(img, jnp.float32(0.8), 2))
+        monkeypatch.setenv("MMREG_BLUR_MODE", "shifts")
+        b = np.asarray(_gaussian_blur(img, jnp.float32(0.8), 2))
+        np.testing.assert_allclose(a, b, atol=2e-6, rtol=1e-5)
