@@ -64,16 +64,22 @@ def main():
         total_b += b
         cin = c
         res = tuple(s // 2 for s in res)
-    # decoder: 3 up-levels (to half-res) with skip concat (2C in), + extra convs
+    # decoder (mirrors models/unet.py): each level CONVS FIRST at the current
+    # resolution, then upsamples + skip-concats; with nb_upsample_skips=1
+    # (svf_res 2) there are len(enc)-1 upsamples, so dec_0 runs at the
+    # bottleneck (1/16) with 64 in-channels and the last three dec entries
+    # run at half-res. (An earlier revision upsampled before each conv,
+    # shifting every decoder level one resolution up: +18% total FLOPs.)
+    n_up = len(enc) - 1  # nb_levels - 1 - nb_upsample_skips
     for i, c in enumerate(dec):
-        if i < len(enc) - 1:
-            res = tuple(s * 2 for s in res)
-            cin = cin + enc[len(enc) - 2 - i]  # skip concat
         f, b = conv_cost(res, cin, c)
         comps[f"dec_{i}@{res[0]}"] = {"gflop": f / 1e9, "mb": b / 1e6}
         total_f += f
         total_b += b
         cin = c
+        if i < n_up:
+            res = tuple(s * 2 for s in res)
+            cin = cin + enc[len(enc) - 1 - i]  # skip concat (popped deepest-first)
     # flow head (3ch) at half-res
     f, b = conv_cost(half, cin, 3)
     comps["flow_head"] = {"gflop": f / 1e9, "mb": b / 1e6}

@@ -18,6 +18,12 @@ Also timed: pair augmentation (flips + zero-borders) and the full two-sample
 `synthesize` closure from the trainer, as the cross-check against the
 train_breakdown synth_ms number.
 
+NOTE: per-stage deltas here carry the tunnel's per-call RPC latency noise
+(±30-50 ms observed — negative deltas possible); `train_profile.py`'s device
+trace supersedes this probe for fine-grained attribution. The stage bodies
+mirror the production engine (select-chain intensities, not the retired
+table gathers).
+
 Usage: synth_breakdown.py [iters] [--small]
 """
 
@@ -109,7 +115,16 @@ def main(iters: int = 8, small: bool = False):
             zero_bg = jax.random.uniform(k_zbg, ()) < cfg.zero_background
             means = means.at[0].set(jnp.where(zero_bg, 0.0, means[0]))
             stds = stds.at[0].set(jnp.where(zero_bg, 0.0, stds[0]))
-            img = means[lab_idx] + stds[lab_idx] * jax.random.normal(k_noise, shape)
+            # L-way select chain, matching the production engine (the retired
+            # means[lab_idx]/stds[lab_idx] tiny-table gathers this stage used
+            # to time cost ~37 ms each on this TPU — PERF.md round 3c)
+            img_mean = jnp.full(shape, means[0], jnp.float32)
+            img_std = jnp.full(shape, stds[0], jnp.float32)
+            for l in range(1, L):
+                sel = lab_idx == l
+                img_mean = jnp.where(sel, means[l], img_mean)
+                img_std = jnp.where(sel, stds[l], img_std)
+            img = img_mean + img_std * jax.random.normal(k_noise, shape)
             if stage == 4:
                 return live + jnp.sum(img)
             sigma = jax.random.uniform(k_blur, (), minval=0.0, maxval=cfg.blur_std)

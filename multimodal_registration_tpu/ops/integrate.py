@@ -17,6 +17,22 @@ import jax.numpy as jnp
 from multimodal_registration_tpu.ops.warp import warp, warp_batch
 
 
+def _integrate(vel, int_steps, payload_dtype, warp_fn):
+    if int_steps <= 0:
+        return vel
+    phi = vel.astype(jnp.float32) / (2.0**int_steps)
+
+    def body(_, p):
+        if payload_dtype is not None:
+            inc = warp_fn(p.astype(payload_dtype), p, interp="linear").astype(
+                jnp.float32)
+        else:
+            inc = warp_fn(p, p, interp="linear")
+        return p + inc
+
+    return jax.lax.fori_loop(0, int_steps, body, phi)
+
+
 def integrate_svf(
     vel: jnp.ndarray, int_steps: int = 5, payload_dtype=None
 ) -> jnp.ndarray:
@@ -31,18 +47,7 @@ def integrate_svf(
     final field by <0.03 voxels with identical detJ statistics (measured —
     see PERF.md).
     """
-    if int_steps <= 0:
-        return vel
-    phi = vel.astype(jnp.float32) / (2.0**int_steps)
-
-    def body(_, p):
-        if payload_dtype is not None:
-            inc = warp(p.astype(payload_dtype), p, interp="linear").astype(jnp.float32)
-        else:
-            inc = warp(p, p, interp="linear")
-        return p + inc
-
-    return jax.lax.fori_loop(0, int_steps, body, phi)
+    return _integrate(vel, int_steps, payload_dtype, warp)
 
 
 def integrate_svf_batch(
@@ -57,16 +62,4 @@ def integrate_svf_batch(
     serialized ~42 ms integration loops per step where one batched loop
     amortizes per-iteration overhead (PERF.md round 3b).
     """
-    if int_steps <= 0:
-        return vel
-    phi = vel.astype(jnp.float32) / (2.0**int_steps)
-
-    def body(_, p):
-        if payload_dtype is not None:
-            inc = warp_batch(p.astype(payload_dtype), p, interp="linear").astype(
-                jnp.float32)
-        else:
-            inc = warp_batch(p, p, interp="linear")
-        return p + inc
-
-    return jax.lax.fori_loop(0, int_steps, body, phi)
+    return _integrate(vel, int_steps, payload_dtype, warp_batch)

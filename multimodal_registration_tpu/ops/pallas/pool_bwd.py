@@ -33,6 +33,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _fit_even_divisor(n, want):
+    """Largest EVEN divisor of ``n`` not exceeding ``want`` (tiles must hold
+    whole pool windows); ``n`` is even for any pool input."""
+    for d in range(min(want, n), 1, -1):
+        if d % 2 == 0 and n % d == 0:
+            return d
+    return 2
+
+
 def _split2_lead(v, axis):
     """Pair-split along a LEADING axis (axis < v.ndim - 2): reshape + static
     unit slices. Never touches the sublane/lane axes."""
@@ -93,16 +102,7 @@ def max_pool_2x_bwd(x, g, block=(8, 8), interpret: bool = False):
     Returns ``(X, Y, Z, C)`` with SelectAndScatter's first-tie routing.
     """
     X, Y, Z, C = x.shape
-
-    def fit(n, want):
-        # largest EVEN divisor of n not exceeding want (tiles must hold whole
-        # pool windows); n is even for any pool input
-        for d in range(min(want, n), 1, -1):
-            if d % 2 == 0 and n % d == 0:
-                return d
-        return 2
-
-    FX, FY = fit(X, block[0]), fit(Y, block[1])
+    FX, FY = _fit_even_divisor(X, block[0]), _fit_even_divisor(Y, block[1])
     assert X % 2 == Y % 2 == Z % 2 == 0 and g.shape == (
         X // 2, Y // 2, Z // 2, C), (x.shape, g.shape)
     NX, NY = X // FX, Y // FY
@@ -188,14 +188,7 @@ def max_pool_2x_bwd_v3(x, g, block=(2, 8), interpret: bool = False):
     X, Y, Z, C = x.shape
     assert X % 2 == Y % 2 == Z % 2 == 0 and g.shape == (
         X // 2, Y // 2, Z // 2, C), (x.shape, g.shape)
-
-    def fit(n, want):
-        for d in range(min(want, n), 1, -1):
-            if d % 2 == 0 and n % d == 0:
-                return d
-        return 2
-
-    FX, FY = fit(X, block[0]), fit(Y, block[1])
+    FX, FY = _fit_even_divisor(X, block[0]), _fit_even_divisor(Y, block[1])
     NX, NY = X // FX, Y // FY
 
     gz = jnp.repeat(g, 2, axis=2)       # (X/2, Y/2, Z, C) — quarter-size pass

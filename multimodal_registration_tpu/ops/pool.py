@@ -63,6 +63,18 @@ def _pallas_pool_bwd_enabled() -> bool:
 
 def _bwd(res, g):
     x, y = res
+    spatial = x.shape[-4:-1]
+    if any(s % 2 for s in spatial):
+        # VALID pooling ignores the trailing element of odd spatial dims
+        # (zero gradient there, matching nn.max_pool's adjoint): crop to
+        # even, recurse, zero-pad back.
+        even = tuple(s - s % 2 for s in spatial)
+        sl = (Ellipsis,) + tuple(slice(0, e) for e in even) + (slice(None),)
+        (gx,) = _bwd((x[sl], y), g)
+        pads = [(0, 0)] * (x.ndim - 4) + [
+            (0, s - e) for s, e in zip(spatial, even)
+        ] + [(0, 0)]
+        return (jnp.pad(gx, pads),)
     if _pallas_pool_bwd_enabled() and x.ndim in (4, 5) and (
         x.ndim == 4 or x.shape[0] == 1
     ):

@@ -138,8 +138,13 @@ def make_loss_fn(model: VxmDense, engine_cfg: ImageEngineConfig, cfg: TrainConfi
         # r3) with a 1/8-size compose + one rescale (~6 ms). The two differ
         # only at second order (interpolating composed samples vs composing
         # interpolants); deviation is bounded by tests/test_train.py.
+        # MMREG_ZLINE_COMPOSE is a measurement flag for the full-res z-line
+        # compose; it must DISABLE the half-res branch, else it would be
+        # silently preempted and the probe would time the wrong path.
+        zline_compose = os.environ.get("MMREG_ZLINE_COMPOSE", "0") == "1"
         if (
             cfg.compose_res > 1
+            and not zline_compose
             and phi1s is not None
             and tuple(out["warp"].shape[1:4]) == tuple(phi1s.shape[1:4])
         ):
@@ -163,7 +168,7 @@ def make_loss_fn(model: VxmDense, engine_cfg: ImageEngineConfig, cfg: TrainConfi
             # halo 16 fits the slab budget (gen fields reach ~10 voxels; the
             # f32 plan's halo 8 would fall back to the whole-volume gather).
             cpd = jnp.dtype(cfg.compose_payload_dtype) if cfg.compose_payload_dtype else None
-            if os.environ.get("MMREG_ZLINE_COMPOSE", "0") == "1":
+            if zline_compose:
                 # z-line row-reduction compose (ops/warp_zline.py): the gather
                 # coordinates are the MODEL flow (smooth), so the fast path
                 # holds even under large generator fields; guarded exact

@@ -95,3 +95,26 @@ def test_grad_matches_nn_max_pool_without_ties():
     g1 = jax.grad(lambda v: jnp.sum(max_pool_2x(v) ** 2))(x)
     g2 = jax.grad(lambda v: jnp.sum(nn.max_pool(v, (2, 2, 2), (2, 2, 2)) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+
+
+def test_odd_spatial_dims_gradient_matches_nn_max_pool():
+    """VALID pooling drops the trailing element of odd spatial dims; the
+    custom VJP must give it zero gradient (crop-recurse-pad), matching
+    autodiff through nn.max_pool instead of crashing on a broadcast."""
+    rng = np.random.default_rng(9)
+    for shape in ((9, 8, 8, 3), (8, 7, 8, 3), (9, 7, 5, 2), (1, 9, 8, 6, 3)):
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        lead = (slice(None),) if len(shape) == 5 else ()
+
+        def pool_ref(v):
+            vv = v if len(shape) == 5 else v[None]
+            return nn.max_pool(vv, (2, 2, 2), (2, 2, 2))
+
+        loss_w = jnp.asarray(
+            rng.normal(size=np.asarray(pool_ref(x)).shape).astype(np.float32))
+        ref = jax.grad(lambda v: jnp.sum(pool_ref(v) * loss_w))(x)
+        got = jax.grad(
+            lambda v: jnp.sum(
+                (max_pool_2x(v) if len(shape) == 5 else max_pool_2x(v[None])[0])
+                * (loss_w if len(shape) == 5 else loss_w[0])))(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
