@@ -21,6 +21,14 @@ slice/stack copies (~2-4 ms total at this size).
 
 Parity: gradient of ``nn.max_pool(x, (2,2,2), (2,2,2))`` as used between
 U-Net encoder levels (`train_synthmorph.py:276`).
+
+HARDWARE VERDICT (round 3d, PERF.md): isolated, v2 measures 32.0 ms vs
+SelectAndScatter's 35.7 at (160,160,192,64) bf16; but the FULL train step
+with the kernel enabled regresses 478.8 -> 503.5 ms — the layout copies at
+the pallas_call boundary and the z-repeat cotangent prep cost more than the
+adjoint saves once XLA can no longer fuse around the pool backward. The
+kernel therefore stays env-gated (``MMREG_PALLAS_POOL_BWD=1``) and OFF by
+default; the XLA mask/count adjoint in ``ops/pool.py`` is production.
 """
 
 from __future__ import annotations

@@ -113,17 +113,20 @@ def _gaussian_blur_shifts(img, sigma, radius: int):
 def _gaussian_blur(img: jnp.ndarray, sigma: jnp.ndarray, radius: int) -> jnp.ndarray:
     """Separable 3-D Gaussian blur with traced sigma and static kernel width.
 
-    ``MMREG_BLUR_MODE`` selects the lowering: ``convolve`` (the per-column
-    ``jnp.convolve`` form, the measured-in-production default) or ``shifts``
-    (pad + static-slice multiply-adds, fuses on the VPU). Both compute the
-    same zero-padded separable convolution; the default flips only on a
-    hardware win — see ``benchmarks/blur_probe.py``.
+    ``MMREG_BLUR_MODE`` selects the lowering: ``shifts`` (pad + static-slice
+    multiply-adds, fuses on the VPU — the default) or ``convolve`` (the
+    per-column ``jnp.convolve`` form, the historical default). Both compute
+    the same zero-padded separable convolution. Measured head-to-head on TPU
+    (benchmarks/blur_probe.py, (160,160,192) f32 r=3): shifts 2.11 ms vs
+    convolve 4.12, and shifts stays in f32 on the VPU while the batched-conv
+    lowering routes through bf16 MXU convs (probe maxerr 0.008 on unit
+    normals is the convolve form's rounding, not the shifts form's).
     """
     import os
 
-    if os.environ.get("MMREG_BLUR_MODE", "convolve") == "shifts":
-        return _gaussian_blur_shifts(img, sigma, radius)
-    return _gaussian_blur_convolve(img, sigma, radius)
+    if os.environ.get("MMREG_BLUR_MODE", "shifts") == "convolve":
+        return _gaussian_blur_convolve(img, sigma, radius)
+    return _gaussian_blur_shifts(img, sigma, radius)
 
 
 def reduced_svf_grid(shape, cfg: ImageEngineConfig):
