@@ -8,10 +8,11 @@ loss-tail (compose+label-warp+Dice) shares — the custom-VJP go/no-go signal
 (VERDICT r3 #3). Chained PRNG keys keep dispatch async; a scalar readback
 drains.
 
-Usage: train_breakdown.py [iters] [--zline] [--zline-compose] [--small]
+Usage: train_breakdown.py [iters] [--zline] [--zline-compose] [--small] [--svf2|--svf4]
   --zline          MMREG_ZLINE_MODEL=1 (z-line integrate + moved warp)
   --zline-compose  MMREG_ZLINE_COMPOSE=1 (z-line generator-field compose)
   --small          32x32x48 / 8-label workload for CPU smoke testing
+  --svf2 / --svf4  override svf_int_res (default: the TrainConfig default)
 """
 
 from __future__ import annotations
@@ -52,12 +53,13 @@ def timed(fn, args, iters=6, key_pos=0):
     return (time.time() - t0) / iters
 
 
-def main(iters: int = 6, small: bool = False):
+def main(iters: int = 6, small: bool = False, svf_int_res: int | None = None):
     shape = [32, 32, 48] if small else [160, 160, 192]
     nlab = 8 if small else 26
+    over = {} if svf_int_res is None else {"svf_int_res": svf_int_res}
     cfg = TrainConfig.from_dict(dict(
         in_shape=shape, num_labels=nlab, batch_size=1,
-        zero_borders_maps=True, epochs=1,
+        zero_borders_maps=True, epochs=1, **over,
     ))
     trainer = Trainer(cfg)
     params, opt_state = trainer.init_state()
@@ -133,7 +135,8 @@ def main(iters: int = 6, small: bool = False):
         return loss, params2, opt_state2
 
     res = {"zline": os.environ.get("MMREG_ZLINE_MODEL", "0") == "1",
-           "zline_compose": os.environ.get("MMREG_ZLINE_COMPOSE", "0") == "1"}
+           "zline_compose": os.environ.get("MMREG_ZLINE_COMPOSE", "0") == "1",
+           "svf_int_res": cfg.svf_int_res}
     res["synth_ms"] = round(timed(synth_only, (key, src, trg), iters) * 1000, 1)
     print(json.dumps({"synth_ms": res["synth_ms"]}), flush=True)
     res["model_fwd_ms"] = round(
@@ -168,4 +171,9 @@ if __name__ == "__main__":
     small = "--small" in argv
     if small:
         argv.remove("--small")
-    main(int(argv[0]) if argv else 6, small=small)
+    svf = None
+    for flag, val in (("--svf2", 2), ("--svf4", 4)):
+        if flag in argv:
+            svf = val
+            argv.remove(flag)
+    main(int(argv[0]) if argv else 6, small=small, svf_int_res=svf)

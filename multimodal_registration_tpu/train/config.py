@@ -81,6 +81,21 @@ class TrainConfig:
     # 1 = always compose at full resolution (strict reference parity;
     # deviation between the two is second-order, bounded in test_train.py).
     compose_res: int = 2
+    # integration-grid divisor for the GENERATOR's augmentation SVF
+    # (synth/image_engine.py). The scaling-and-squaring while-loop over the
+    # generator fields is the single largest synthesis block (76.7 ms/step
+    # at 160x160x192 — train_profile round 3d); the fields are smooth at
+    # vel_res (~16 voxel) scale, so integrating at /4 instead of /2 is 1/8
+    # the gather work. The /4 field is a DIFFERENT but equally valid
+    # diffeomorphic augmentation (deviation vs /2 up to ~0.9 voxel on the
+    # strongest draws; detJ statistics match to 3 decimals, 0 foldings —
+    # PERF.md round 3d) and the loss target composes the SAME field the
+    # images were warped by, so the objective stays self-consistent.
+    # Default 4: measured step 478.8 -> 406.1 ms, and a 3k-step head-to-head
+    # from scratch (benchmarks/svf4_learn_results.json) shows held-out Dice
+    # tracking the /2 arm at every eval point (0.8405 vs 0.8394 at 3k).
+    # 2 = the round-1/2 half-res integration (strict-comparison value).
+    svf_int_res: int = 4
 
     @classmethod
     def from_json(cls, path: str) -> "TrainConfig":

@@ -57,6 +57,7 @@ def engine_config_from(cfg: TrainConfig) -> ImageEngineConfig:
         bias_res=cfg.bias_res,
         blur_std=cfg.blur_std,
         gamma=cfg.gamma,
+        svf_int_res=cfg.svf_int_res,
     )
 
 
@@ -142,12 +143,30 @@ def make_loss_fn(model: VxmDense, engine_cfg: ImageEngineConfig, cfg: TrainConfi
         # compose; it must DISABLE the half-res branch, else it would be
         # silently preempted and the probe would time the wrong path.
         zline_compose = os.environ.get("MMREG_ZLINE_COMPOSE", "0") == "1"
+        warp_grid = tuple(out["warp"].shape[1:4])
+        phi_grid = tuple(phi1s.shape[1:4]) if phi1s is not None else None
+        # Grid bridge for svf_int_res > int_res (e.g. generator integrated at
+        # /4, model warp at /2): the generator grid is a uniform integer
+        # coarsening of the warp grid, so one cheap small-grid upsample (with
+        # the vectors rescaled into warp-grid units) re-enables the reduced
+        # compose instead of falling back to the full-res path.
+        ratios = (
+            set(w // p for w, p in zip(warp_grid, phi_grid))
+            if phi_grid is not None
+            and all(w % p == 0 for w, p in zip(warp_grid, phi_grid))
+            else set()
+        )
         if (
             cfg.compose_res > 1
             and not zline_compose
             and phi1s is not None
-            and tuple(out["warp"].shape[1:4]) == tuple(phi1s.shape[1:4])
+            and len(ratios) == 1
         ):
+            k = ratios.pop()
+            if k > 1:
+                phi1s = jax.vmap(
+                    lambda v: rescale_field(v, float(k), out_shape=warp_grid)
+                )(phi1s)
             total_half = compose_fields_batch(phi1s, out["warp"])
             f = tuple(o / h for o, h in zip(full_shape, total_half.shape[1:4]))
             total_field = jax.vmap(

@@ -182,6 +182,68 @@ def test_compose_res_half_matches_full(tmp_path):
     assert cos > 0.99, cos
 
 
+def test_svf_int_res4_compose_bridge_matches_full(tmp_path):
+    """svf_int_res=4 (generator SVF integrated at the quarter grid) with
+    compose_res=2: the generator grid is a uniform 2x coarsening of the
+    model's int-res warp grid, so the loss must take the BRIDGED small-grid
+    compose (one /4->/2 upsample + /2 compose) and track the full-res
+    compose fallback of the SAME fields to the usual second-order bound."""
+    import jax.numpy as jnp
+
+    from multimodal_registration_tpu.models.vxm_dense import VxmDense
+    from multimodal_registration_tpu.train.trainer import (
+        engine_config_from,
+        make_loss_fn,
+        vxm_config_from,
+    )
+
+    rng = np.random.default_rng(7)
+    maps = rng.integers(0, 4, size=(2, 16, 16, 16), dtype=np.uint8)
+    src = jnp.asarray(maps)
+    trg = jnp.asarray(maps[::-1].copy())
+    key = jax.random.PRNGKey(9)
+
+    losses, grads = {}, {}
+    for res in (1, 2):
+        cfg = tiny_cfg(tmp_path, compose_res=res, compose_payload_dtype="",
+                       svf_int_res=4)
+        model = VxmDense(cfg=vxm_config_from(cfg))
+        dummy = jnp.zeros((1, 16, 16, 16, 1), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), dummy, dummy)
+        loss_fn = make_loss_fn(model, engine_config_from(cfg), cfg, False)
+        (loss, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, key, src, trg
+        )
+        losses[res] = float(loss)
+        grads[res] = np.concatenate(
+            [np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(g)]
+        )
+
+    assert np.isfinite(losses[2]), losses
+    assert abs(losses[1] - losses[2]) < 1e-2, losses
+    cos = float(
+        np.dot(grads[1], grads[2])
+        / (np.linalg.norm(grads[1]) * np.linalg.norm(grads[2]) + 1e-12)
+    )
+    assert cos > 0.99, cos
+
+
+def test_svf_int_res4_train_step_runs(tmp_path):
+    """A fused train step with the quarter-grid generator integration must
+    run end to end (the trainer's batched pre-draw + the bridged compose)."""
+    from multimodal_registration_tpu.train.trainer import Trainer
+
+    cfg = tiny_cfg(tmp_path, svf_int_res=4)
+    trainer = Trainer(cfg)
+    params, opt_state = trainer.init_state()
+    rng = np.random.default_rng(1)
+    maps = rng.integers(0, 4, size=(2, 16, 16, 16), dtype=np.uint8)
+    src, trg = trainer.put_batch(maps, maps.copy())
+    key = jax.random.PRNGKey(3)
+    params, opt_state, aux = trainer.train_step(params, opt_state, key, src, trg)
+    assert np.isfinite(float(aux["loss"]))
+
+
 def test_loaded_noncontiguous_labels_are_remapped(tmp_path):
     """gen_label=false with raw label VALUES (e.g. FreeSurfer ids): the cli
     must remap to contiguous [0, L) and size the engine to the real count
