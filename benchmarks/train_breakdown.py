@@ -13,6 +13,7 @@ Usage: train_breakdown.py [iters] [--zline] [--zline-compose] [--small] [--svf2|
   --zline-compose  MMREG_ZLINE_COMPOSE=1 (z-line generator-field compose)
   --small          32x32x48 / 8-label workload for CPU smoke testing
   --svf2 / --svf4  override svf_int_res (default: the TrainConfig default)
+  --grad2          grad_res=2 (smoothness penalty on the int-res warp)
 """
 
 from __future__ import annotations
@@ -53,10 +54,13 @@ def timed(fn, args, iters=6, key_pos=0):
     return (time.time() - t0) / iters
 
 
-def main(iters: int = 6, small: bool = False, svf_int_res: int | None = None):
+def main(iters: int = 6, small: bool = False, svf_int_res: int | None = None,
+         grad_res: int | None = None):
     shape = [32, 32, 48] if small else [160, 160, 192]
     nlab = 8 if small else 26
     over = {} if svf_int_res is None else {"svf_int_res": svf_int_res}
+    if grad_res is not None:
+        over["grad_res"] = grad_res
     cfg = TrainConfig.from_dict(dict(
         in_shape=shape, num_labels=nlab, batch_size=1,
         zero_borders_maps=True, epochs=1, **over,
@@ -136,7 +140,7 @@ def main(iters: int = 6, small: bool = False, svf_int_res: int | None = None):
 
     res = {"zline": os.environ.get("MMREG_ZLINE_MODEL", "0") == "1",
            "zline_compose": os.environ.get("MMREG_ZLINE_COMPOSE", "0") == "1",
-           "svf_int_res": cfg.svf_int_res}
+           "svf_int_res": cfg.svf_int_res, "grad_res": cfg.grad_res}
     res["synth_ms"] = round(timed(synth_only, (key, src, trg), iters) * 1000, 1)
     print(json.dumps({"synth_ms": res["synth_ms"]}), flush=True)
     res["model_fwd_ms"] = round(
@@ -176,4 +180,9 @@ if __name__ == "__main__":
         if flag in argv:
             svf = val
             argv.remove(flag)
-    main(int(argv[0]) if argv else 6, small=small, svf_int_res=svf)
+    grad_res = None
+    if "--grad2" in argv:
+        grad_res = 2
+        argv.remove("--grad2")
+    main(int(argv[0]) if argv else 6, small=small, svf_int_res=svf,
+         grad_res=grad_res)

@@ -96,6 +96,17 @@ class TrainConfig:
     # tracking the /2 arm at every eval point (0.8405 vs 0.8394 at 3k).
     # 2 = the round-1/2 half-res integration (strict-comparison value).
     svf_int_res: int = 4
+    # resolution divisor for the smoothness (Grad-L2) regularizer. 2 =
+    # penalize the model's int-res warp directly instead of its full-res
+    # upsample: for the exact 2x interleave rescale the fine-grid forward
+    # differences EQUAL the coarse-grid ones (vectors scale by 2, grid by
+    # 1/2), so the two losses differ only in boundary terms — measured
+    # ratio 1.056 +- 0.001 on smooth fields, i.e. a fixed ~5% rescale of
+    # reg_param. With the Dice term using the bridged compose, this DCEs
+    # the model's full-res flow rescale (and its VJP) out of the train
+    # step entirely. 1 = reference semantics (Grad on the full-res flow,
+    # train_synthmorph.py:307).
+    grad_res: int = 1
 
     @classmethod
     def from_json(cls, path: str) -> "TrainConfig":

@@ -208,7 +208,20 @@ def make_loss_fn(model: VxmDense, engine_cfg: ImageEngineConfig, cfg: TrainConfi
             lambda l, f: warp_onehot(l, f, engine_cfg.num_labels)
         )(raw1, total_field)
         d = dice_loss_zeropad(map2, pred) if use_zeropad else dice_loss(map2, pred)
-        g = grad_loss(flow, "l2", cfg.reg_param)
+        # grad_res=2: penalize the int-res warp — fine-grid forward diffs of
+        # the exact 2x interleave upsample equal the coarse ones, so this is
+        # the same loss up to boundary terms (ratio 1.056, see
+        # train/config.py), and it lets XLA DCE the full-res flow rescale +
+        # its VJP out of the step (the Dice term uses the bridged compose,
+        # not flow_fullres).
+        if (
+            cfg.grad_res > 1
+            and tuple(out["warp"].shape[1:4])
+            == tuple(s // cfg.grad_res for s in full_shape)
+        ):
+            g = grad_loss(out["warp"], "l2", cfg.reg_param)
+        else:
+            g = grad_loss(flow, "l2", cfg.reg_param)
         loss = d + 1.0 + g
         return loss, {"dice_loss": d, "grad_loss": g, "loss": loss}
 

@@ -228,6 +228,48 @@ def test_svf_int_res4_compose_bridge_matches_full(tmp_path):
     assert cos > 0.99, cos
 
 
+def test_grad_res2_tracks_fullres_grad(tmp_path):
+    """grad_res=2 (smoothness penalty on the int-res warp) must track the
+    full-res penalty up to the fixed boundary-term ratio (~1.056 on smooth
+    fields — train/config.py): same loss to ~1e-2, aligned gradients."""
+    import jax.numpy as jnp
+
+    from multimodal_registration_tpu.models.vxm_dense import VxmDense
+    from multimodal_registration_tpu.train.trainer import (
+        engine_config_from,
+        make_loss_fn,
+        vxm_config_from,
+    )
+
+    rng = np.random.default_rng(13)
+    maps = rng.integers(0, 4, size=(2, 16, 16, 16), dtype=np.uint8)
+    src = jnp.asarray(maps)
+    trg = jnp.asarray(maps[::-1].copy())
+    key = jax.random.PRNGKey(21)
+
+    losses, grads = {}, {}
+    for res in (1, 2):
+        cfg = tiny_cfg(tmp_path, grad_res=res, reg_param=1.0)
+        model = VxmDense(cfg=vxm_config_from(cfg))
+        dummy = jnp.zeros((1, 16, 16, 16, 1), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), dummy, dummy)
+        loss_fn = make_loss_fn(model, engine_config_from(cfg), cfg, False)
+        (loss, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, key, src, trg
+        )
+        losses[res] = float(loss)
+        grads[res] = np.concatenate(
+            [np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(g)]
+        )
+
+    assert abs(losses[1] - losses[2]) < 1e-2, losses
+    cos = float(
+        np.dot(grads[1], grads[2])
+        / (np.linalg.norm(grads[1]) * np.linalg.norm(grads[2]) + 1e-12)
+    )
+    assert cos > 0.99, cos
+
+
 def test_svf_int_res4_train_step_runs(tmp_path):
     """A fused train step with the quarter-grid generator integration must
     run end to end (the trainer's batched pre-draw + the bridged compose)."""
