@@ -79,7 +79,13 @@ def main(steps: int = 6000, warm: str | None = None):
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(1)
 
-    eval_cfg = trainer.engine_cfg
+    # held-out pairs are pinned to the HISTORICAL engine settings (/2 SVF
+    # integration, convolve blur lowering) so the Dice/NMI trajectory stays
+    # comparable across legs even as training-time defaults evolve
+    # (svf_int_res=4 / shifts blur adopted round 3d).
+    import dataclasses as _dc
+
+    eval_cfg = _dc.replace(trainer.engine_cfg, svf_int_res=2)
 
     def make_pair(seed):
         k1, k2 = jax.random.split(jax.random.PRNGKey(5000 + seed))
@@ -89,7 +95,9 @@ def main(steps: int = 6000, warm: str | None = None):
         return (np.asarray(img1), np.asarray(jnp.argmax(oh1, -1)),
                 np.asarray(img2), np.asarray(jnp.argmax(oh2, -1)))
 
+    os.environ["MMREG_BLUR_MODE"] = "convolve"  # traced by the 6 eval draws
     pairs = [make_pair(s) for s in range(3)]
+    os.environ.pop("MMREG_BLUR_MODE", None)  # training synthesis traces later
 
     @jax.jit
     def infer(params, mov, fx, mov_lab):
