@@ -42,7 +42,12 @@ class ImageEngineConfig:
 
     num_labels: int = 26
     vel_std: float = 3.0  # warp_std
-    vel_res: float = 16.0  # warp_res (relative resolution of the SVF noise)
+    # warp_res: relative resolution(s) of the SVF noise. A scalar draws one
+    # Perlin scale; a tuple draws one noise component PER scale and sums them
+    # (reference `draw_perlin` list semantics). The reference's two-step
+    # recipe trains the smooth step-1 model with vel_res [32, 64]
+    # (`README.md:157`) and the fine step-2 model with 16.
+    vel_res: float | tuple = 16.0
     bias_std: float = 0.3
     bias_res: float = 40.0
     blur_std: float = 1.0  # max blur std
@@ -129,6 +134,15 @@ def _gaussian_blur(img: jnp.ndarray, sigma: jnp.ndarray, radius: int) -> jnp.nda
     return _gaussian_blur_shifts(img, sigma, radius)
 
 
+def _vel_scales(cfg: ImageEngineConfig, r: float = 1.0):
+    """``vel_res`` as a list of Perlin scales in units of the (possibly
+    reduced-by-``r``) drawing grid."""
+    res = cfg.vel_res
+    if isinstance(res, (int, float)):
+        res = (res,)
+    return [float(s) / r for s in res]
+
+
 def reduced_svf_grid(shape, cfg: ImageEngineConfig):
     """The reduced integration grid for ``shape``, or ``None`` when the
     engine would integrate at full resolution (``svf_int_res`` 1 or not a
@@ -151,7 +165,7 @@ def draw_svf_small(key: jax.Array, shape, cfg: ImageEngineConfig):
         return None
     r = max(int(cfg.svf_int_res), 1)
     k_svf = jax.random.split(key, 8)[0]
-    svf = draw_perlin(k_svf, (*small, 3), [cfg.vel_res / r], max_std=cfg.vel_std)
+    svf = draw_perlin(k_svf, (*small, 3), _vel_scales(cfg, r), max_std=cfg.vel_std)
     return svf / r
 
 
@@ -187,13 +201,13 @@ def _labels_to_image_impl(
             phi = rescale_field(phi_small, float(r), out_shape=shape)
         elif r > 1 and all(s % r == 0 for s in shape):
             small = tuple(s // r for s in shape)
-            svf = draw_perlin(k_svf, (*small, 3), [cfg.vel_res / r], max_std=cfg.vel_std)
+            svf = draw_perlin(k_svf, (*small, 3), _vel_scales(cfg, r), max_std=cfg.vel_std)
             # integrate at reduced res (vectors in small-grid units), then
             # upsample; rescale_field scales the vectors by r
             phi_small = integrate_svf(svf / r, cfg.int_steps, payload_dtype=pd)
             phi = rescale_field(phi_small, float(r), out_shape=shape)
         else:
-            svf = draw_perlin(k_svf, (*shape, 3), [cfg.vel_res], max_std=cfg.vel_std)
+            svf = draw_perlin(k_svf, (*shape, 3), _vel_scales(cfg), max_std=cfg.vel_std)
             phi = integrate_svf(svf, cfg.int_steps, payload_dtype=pd)
         # ONE packed int8 corner gather serves both the soft map (trilinear
         # one-hot mix — the training target) and the hard nearest-warped

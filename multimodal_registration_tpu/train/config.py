@@ -38,7 +38,10 @@ class TrainConfig:
     blur_std: float = 1.0
     gamma: float = 0.25
     vel_std: float = 3.0
-    vel_res: float = 16.0
+    # Scalar or list. The reference's two-step recipe (`README.md:157`)
+    # trains the smooth step-1 model with vel_res [32, 64] (noise summed
+    # over both Perlin scales) and the fine step-2 model with 16.
+    vel_res: float | List[float] = 16.0
     bias_std: float = 0.3
     bias_res: float = 40.0
     # training (`config/README.md:38-49`)

@@ -329,3 +329,68 @@ class TestBlurModes:
         monkeypatch.setenv("MMREG_BLUR_MODE", "shifts")
         b = np.asarray(_gaussian_blur(img, jnp.float32(0.8), 2))
         np.testing.assert_allclose(a, b, atol=2e-6, rtol=1e-5)
+
+
+class TestMultiScaleVelRes:
+    """List-valued ``vel_res`` — the reference two-step recipe trains the
+    smooth step-1 model with ``vel_res: [32, 64]`` (`README.md:157`), i.e.
+    the generator SVF is a SUM of Perlin components, one per scale."""
+
+    def test_engine_accepts_tuple_vel_res(self):
+        from multimodal_registration_tpu.synth.image_engine import (
+            ImageEngineConfig,
+            labels_to_image,
+        )
+
+        cfg = ImageEngineConfig(
+            num_labels=4, vel_res=(4.0, 8.0), bias_res=8.0, blur_radius=2
+        )
+        key = jax.random.PRNGKey(3)
+        lab = jax.random.randint(jax.random.PRNGKey(9), (16, 16, 16), 0, 4)
+        img, onehot = labels_to_image(key, lab, cfg)
+        img, onehot = np.asarray(img), np.asarray(onehot)
+        assert img.shape == (16, 16, 16)
+        np.testing.assert_allclose(onehot.sum(-1), 1.0, atol=1e-5)
+        # two-scale field differs from either single-scale draw
+        one = np.asarray(
+            labels_to_image(
+                key, lab, synth.ImageEngineConfig(
+                    num_labels=4, vel_res=4.0, bias_res=8.0, blur_radius=2
+                )
+            )[0]
+        )
+        assert np.abs(img - one).max() > 1e-4
+
+    def test_draw_svf_small_matches_engine_keys(self):
+        from multimodal_registration_tpu.ops.integrate import integrate_svf
+        from multimodal_registration_tpu.synth.image_engine import (
+            ImageEngineConfig,
+            draw_svf_small,
+            labels_to_image_full,
+        )
+
+        cfg = ImageEngineConfig(num_labels=3, vel_res=(4.0, 8.0), bias_res=8.0)
+        shape = (12, 12, 12)
+        lab = jnp.asarray(
+            np.random.default_rng(1).integers(0, 3, size=shape, dtype=np.uint8)
+        )
+        key = jax.random.PRNGKey(5)
+        ref = labels_to_image_full(key, lab, cfg)
+        svf = draw_svf_small(key, shape, cfg)
+        assert svf is not None
+        phi_small = integrate_svf(
+            svf, cfg.int_steps, payload_dtype=jnp.dtype(cfg.integrate_payload_dtype)
+        )
+        got = labels_to_image_full(key, lab, cfg, phi_small)
+        np.testing.assert_allclose(
+            np.asarray(ref[0]), np.asarray(got[0]), atol=1e-5
+        )
+
+    def test_train_config_list_vel_res_roundtrip(self):
+        from multimodal_registration_tpu.train.config import TrainConfig
+        from multimodal_registration_tpu.train.trainer import engine_config_from
+
+        cfg = TrainConfig.from_dict({"vel_res": [32, 64]})
+        ec = engine_config_from(cfg)
+        assert ec.vel_res == (32, 64)
+        hash(ec)  # frozen dataclass must stay hashable (jit-static arg)

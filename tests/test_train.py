@@ -305,3 +305,18 @@ def test_loaded_noncontiguous_labels_are_remapped(tmp_path):
     out = run_training(cfg)
     assert cfg.num_labels == 4  # overridden to the actual count
     assert np.isfinite(out["history"][-1]["loss"])
+
+
+def test_vel_res_list_train_step_runs(tmp_path):
+    """A fused train step with the two-step recipe's list-valued vel_res
+    (smooth step-1 model, `README.md:157`) must run end to end through the
+    trainer's batched generator-SVF pre-draw."""
+    cfg = tiny_cfg(tmp_path, vel_res=[8, 16])
+    trainer = Trainer(cfg)
+    params, opt_state = trainer.init_state()
+    rng = np.random.default_rng(2)
+    maps = rng.integers(0, 4, size=(2, 16, 16, 16), dtype=np.uint8)
+    src, trg = trainer.put_batch(maps, maps.copy())
+    key = jax.random.PRNGKey(4)
+    params, opt_state, aux = trainer.train_step(params, opt_state, key, src, trg)
+    assert np.isfinite(float(aux["loss"]))
