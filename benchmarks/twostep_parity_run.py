@@ -168,18 +168,30 @@ def main():
     with open(cfg_path, "w") as f:
         json.dump(infer_cfg, f)
 
+    # three arms: the fine model alone, the fine model behind the reference's
+    # opt-affine gate (its OTHER large-displacement answer,
+    # `pipeline_bids_register_evaluate_opt_affine.sh:145-182`), and the
+    # trained two-step cascade.
     arms = {}
-    for arm, m2path in (("single", None), ("two_step", m2)):
-        mpath = m2 if arm == "single" else m1
+    for arm, mpath, m2path, gate in (
+        ("single", m2, None, False),
+        ("opt_affine", m2, None, True),
+        ("two_step", m1, m2, False),
+    ):
         out = os.path.join(root, f"out_{arm}")
+        kw = dict(opt_affine=gate)
+        if gate:
+            kw["min_sc_dice"] = 80
         results, _ = run_batch(
             path_data=data, path_output=out, model_path=mpath,
             config_path=cfg_path, model2_path=m2path, jobs=1,
             segmenter=ThresholdSegmenter(percentile=98.4),
-            opt_affine=False,
+            **kw,
         )
         arms[arm] = collect(out, subjects)
         arms[arm]["batch_ok"] = all(r.ok for r in results)
+        arms[arm]["used_affine_fallback"] = [
+            r.subject for r in results if getattr(r, "used_affine_fallback", False)]
 
     def mean_after(arm):
         d = arms[arm]["dice_before_after"]
@@ -193,6 +205,7 @@ def main():
         "arms": arms,
         "summary": {
             "sc_dice_after_single": mean_after("single"),
+            "sc_dice_after_opt_affine": mean_after("opt_affine"),
             "sc_dice_after_two_step": mean_after("two_step"),
             "two_step_minus_single": (
                 round(mean_after("two_step") - mean_after("single"), 4)
