@@ -105,11 +105,12 @@ def main(steps: int = 12000, warm: str | None = None):
         im_scales=cfg.im_scales, def_scales=cfg.def_scales,
     )
     bank = trainer.put_bank(np.stack(maps).astype(np.uint8))
-    rng = np.random.default_rng(0)
-    key = jax.random.PRNGKey(1)
 
-    # held-out pairs pinned to svf_int_res=2 (the historical eval engine, as
-    # in learn_ref_workload.py) but with THIS model's smooth vel_res.
+    # held-out pairs pinned to svf_int_res=2 (as in learn_ref_workload.py)
+    # but with THIS model's smooth vel_res. NOTE: unlike learn_ref_workload,
+    # the blur stays at the current default (shifts) — this file's trajectory
+    # is internally consistent, but its absolute Dice/NMI are not exactly
+    # engine-identical to learn_ref_results.json's convolve-pinned evals.
     import dataclasses as _dc
 
     eval_cfg = _dc.replace(trainer.engine_cfg, svf_int_res=2)
@@ -173,6 +174,13 @@ def main(steps: int = 12000, warm: str | None = None):
                "identity": {"smooth": identity_metrics(pairs),
                             "affine": identity_metrics(pairs_affine)},
                "trajectory": []}
+
+    # seed the training-data streams from step_base so resumed legs draw
+    # FRESH (map-index, synthesis-key) pairs instead of replaying the first
+    # leg's stream (review finding; legs before this fix revisit the same
+    # synthetic draws, epoch-style — not wrong, just less diverse)
+    rng = np.random.default_rng(step_base)
+    key = jax.random.PRNGKey(1 + step_base)
 
     def snapshot(step, loss, sps):
         nmi_s, dice_s, mf_s = evaluate(params, pairs)

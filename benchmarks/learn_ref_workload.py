@@ -76,8 +76,6 @@ def main(steps: int = 6000, warm: str | None = None):
         im_scales=cfg.im_scales, def_scales=cfg.def_scales,
     )
     bank = trainer.put_bank(np.stack(maps).astype(np.uint8))
-    rng = np.random.default_rng(0)
-    key = jax.random.PRNGKey(1)
 
     # held-out pairs are pinned to the HISTORICAL engine settings (/2 SVF
     # integration, convolve blur lowering) so the Dice/NMI trajectory stays
@@ -142,6 +140,13 @@ def main(steps: int = 6000, warm: str | None = None):
                "warm_start": warm or "",
                "identity": {"nmi": base_nmi, "dice": base_dice},
                "trajectory": []}
+
+    # seed the training-data streams from step_base so resumed legs draw
+    # FRESH (map-index, synthesis-key) pairs instead of replaying the first
+    # leg's stream (review finding; the committed 50k trajectory's legs
+    # predate this fix — each leg revisited the same draws, epoch-style)
+    rng = np.random.default_rng(step_base)
+    key = jax.random.PRNGKey(1 + step_base)
 
     def snapshot(step, loss, sps):
         nmi, dice, mf = evaluate(params)

@@ -170,8 +170,9 @@ def main():
     )
 
     csv_dir = os.path.join(out, "log")
-    # runner's csv_dir default is "."? collect wherever the CSVs landed
-    candidates = [csv_dir, out, os.path.join(out, "data_processed"), "."]
+    # search only this run's output tree — a cwd fallback could silently pick
+    # up stale CSVs from unrelated runs (review finding)
+    candidates = [csv_dir, out, os.path.join(out, "data_processed")]
     found = {}
     for name in ("metrics_on_sc_seg.csv", "nmi.csv", "jacobian_det.csv"):
         for c in candidates:

@@ -57,6 +57,7 @@ from multimodal_registration_tpu.synth.augment import maybe_zero_borders, random
 from multimodal_registration_tpu.synth.image_engine import (
     ImageEngineConfig,
     _gaussian_blur,
+    _vel_scales,
     labels_to_image,
     labels_to_image_full,
 )
@@ -94,7 +95,7 @@ def main(iters: int = 8, small: bool = False):
         def fn(k, lab):
             (k_svf, k_mean, k_std, k_noise, k_blur, k_bias, k_gamma,
              k_zbg) = jax.random.split(k, 8)
-            svf = draw_perlin(k_svf, (*small_shape, 3), [cfg.vel_res / r],
+            svf = draw_perlin(k_svf, (*small_shape, 3), _vel_scales(cfg, r),
                               max_std=cfg.vel_std)
             if stage == 0:
                 return jnp.sum(svf)

@@ -71,10 +71,12 @@ def collect(out, subjects):
         with open(path) as f:
             return list(csv.DictReader(f))
 
+    # search only THIS arm's output tree — a cwd fallback could silently pick
+    # up stale CSVs from unrelated runs (review finding)
     found = {}
     for name in ("metrics_on_sc_seg.csv", "nmi.csv", "jacobian_det.csv"):
         for c in (os.path.join(out, "log"), out,
-                  os.path.join(out, "data_processed"), "."):
+                  os.path.join(out, "data_processed")):
             p = os.path.join(c, name)
             if os.path.exists(p):
                 found[name] = p
@@ -209,7 +211,8 @@ def main():
             "sc_dice_after_two_step": mean_after("two_step"),
             "two_step_minus_single": (
                 round(mean_after("two_step") - mean_after("single"), 4)
-                if mean_after("single") is not None else None),
+                if mean_after("single") is not None
+                and mean_after("two_step") is not None else None),
         },
     }
     with open(ARTIFACT if not args.quick else ARTIFACT + ".quick", "w") as f:
