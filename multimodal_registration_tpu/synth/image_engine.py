@@ -67,6 +67,14 @@ class ImageEngineConfig:
     integrate_payload_dtype: str = "bfloat16"  # see ops.integrate / PERF.md
     blur_radius: int = 3  # static kernel radius (≥ 3·blur_std covers the mass)
 
+    def __post_init__(self):
+        # tuple-ize list-valued vel_res at the config boundary: the frozen
+        # dataclass is used as a jit-static argument and must stay hashable
+        # no matter who constructs it (advisor round-3 finding).
+        if isinstance(self.vel_res, (list, tuple)):
+            object.__setattr__(
+                self, "vel_res", tuple(float(s) for s in self.vel_res))
+
 
 def _blur_kernel(sigma: jnp.ndarray, radius: int) -> jnp.ndarray:
     x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)

@@ -52,10 +52,7 @@ def engine_config_from(cfg: TrainConfig) -> ImageEngineConfig:
     return ImageEngineConfig(
         num_labels=cfg.num_labels,
         vel_std=cfg.vel_std,
-        # tuple-ize list-valued vel_res (JSON lists) — ImageEngineConfig is a
-        # frozen dataclass used as a jit-static argument and must stay hashable
-        vel_res=tuple(cfg.vel_res) if isinstance(cfg.vel_res, (list, tuple))
-        else cfg.vel_res,
+        vel_res=cfg.vel_res,  # lists tuple-ized by ImageEngineConfig.__post_init__
         bias_std=cfg.bias_std,
         bias_res=cfg.bias_res,
         blur_std=cfg.blur_std,

@@ -394,3 +394,10 @@ class TestMultiScaleVelRes:
         ec = engine_config_from(cfg)
         assert ec.vel_res == (32, 64)
         hash(ec)  # frozen dataclass must stay hashable (jit-static arg)
+
+    def test_engine_config_list_construction_is_hashable(self):
+        from multimodal_registration_tpu.synth.image_engine import ImageEngineConfig
+
+        ec = ImageEngineConfig(vel_res=[4.0, 8.0])
+        assert ec.vel_res == (4.0, 8.0)
+        hash(ec)  # __post_init__ tuple-izes at the config boundary
