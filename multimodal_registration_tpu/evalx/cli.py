@@ -28,8 +28,8 @@ def _load(path):
     # extension detection on the BASENAME — a dotted directory in the path
     # must not make an extension-less stem look like a full filename
     if "." in os.path.basename(path):
-        return nifti.load(path)
-    return nifti.load(f"{path}.nii.gz")
+        return nifti.load(path, cached=True)
+    return nifti.load(f"{path}.nii.gz", cached=True)
 
 
 # serializes header-check + append when evaluators run from `--jobs N`

@@ -152,7 +152,9 @@ def postprocess_and_save(
         nifti.save(warp_img, paths["warp_proc"])
 
     if "warp_orig" in paths:
-        warp_orig = np.zeros((*moving_nii.shape[:3], 1, 3))
+        # f32 like the reference's field outputs (K.eval / nib write f32);
+        # f64 would double the gzip payload of the largest output file
+        warp_orig = np.zeros((*moving_nii.shape[:3], 1, 3), np.float32)
         for i in range(3):
             warp_orig[..., 0, i] = affine_resample(
                 warp_exp[..., 0, i], fixed_proc.affine, moving_nii.affine,
@@ -224,18 +226,32 @@ def register(
     ``fixed_nii``/``moving_nii`` may be passed preloaded (e.g. from the native
     prefetch pool) to skip the decode here.
     """
+    import time
+
+    timings = {}
+    t = [time.time()]
+
+    def _mark(phase):
+        now = time.time()
+        timings[phase] = round(now - t[0], 3)
+        t[0] = now
+
     if fixed_nii is None:
         fixed_nii = nifti.load(fx_im_path)
     if moving_nii is None:
         moving_nii = nifti.load(mov_im_path)
     fx_stem = fx_im_path.split(".")[0]
     mov_stem = mov_im_path.split(".")[0]
+    _mark("load")
 
     pre = preprocess(cfg, fixed_nii, moving_nii)
+    _mark("preprocess")
     nifti.save(pre.fixed, f"{fx_stem}_proc.nii.gz")
     nifti.save(pre.moving, f"{mov_stem}_proc.nii.gz")
+    _mark("save_proc")
 
     moved, warp_data, scale = _infer_fields_single(cfg, registrar, pre)
+    _mark("predict")
 
     if naming == "bids":
         paths = {
@@ -256,6 +272,7 @@ def register(
     moved_orig, warp_exp = postprocess_and_save(
         warp_data, scale, pre.fixed, fixed_nii, moving_nii, moved, paths
     )
+    _mark("postprocess")
     return {
         "moved": moved,
         "moved_orig": moved_orig,
@@ -263,6 +280,7 @@ def register(
         "warp_data": warp_data,  # working-space field at int-res (pre-RAI-export)
         "paths": paths,
         "scale": scale,
+        "timings": timings,
     }
 
 

@@ -127,6 +127,15 @@ def affine_resample(
     """Resample ``vol`` from grid ``in_affine`` onto ``(out_shape, out_affine)``."""
     order = _ORDER[interpolation]
     M = np.linalg.inv(in_affine) @ out_affine
+    # identity fast path: same grid, same shape — every interpolation order
+    # reproduces the input exactly (incl. spline: the prefilter/kernel pair
+    # is an exact identity on integer sample points). Saves 4 full-res
+    # device resamples per pipeline subject when the fixed grid is already
+    # 1 mm (postprocess: moved + 3 warp components back to the moving grid).
+    if tuple(int(s) for s in out_shape) == tuple(vol.shape[:3]) and np.allclose(
+        M, np.eye(4), atol=1e-9
+    ):
+        return np.asarray(vol, np.float64)
     if order in (0, 1):
         return _device_affine_resample(vol, M, out_shape, order, mode, cval)
     out = _device_spline_resample(vol, M, out_shape, mode, cval, order)

@@ -107,6 +107,8 @@ def run_batch(
     _pf_window = max(2, 2 * max(jobs, 1))
     _pf_outstanding = [0]
     try:
+        if os.environ.get("MMREG_NO_PREFETCH"):  # A/B knob (pipeline_throughput bench)
+            raise RuntimeError("prefetch disabled via MMREG_NO_PREFETCH")
         from multimodal_registration_tpu.pipeline.bids import subject_images
         from multimodal_registration_tpu.utils.native import PrefetchPool
 

@@ -86,7 +86,7 @@ class QCReport:
         segs = seg_paths or {}
         moved_mosaic = None
         for name, path in [("fixed", fixed_path), ("moving", moving_path), ("moved", moved_path)]:
-            vol = nifti.load(path).get_fdata()
+            vol = nifti.load(path, cached=True).get_fdata()
             lo, hi = np.percentile(vol, [1, 99])
             vol = np.clip((vol - lo) / max(hi - lo, 1e-9), 0, 1)
             m = _mosaic(vol)
@@ -94,7 +94,7 @@ class QCReport:
                 moved_mosaic = m
             overlay = None
             if name in segs and os.path.exists(segs[name]):
-                overlay = _mosaic(nifti.load(segs[name]).get_fdata())
+                overlay = _mosaic(nifti.load(segs[name], cached=True).get_fdata())
             panels.append((name, m, overlay, "autumn"))
         if warped_grid is not None and moved_mosaic is not None:
             grid_m = (_mosaic(np.asarray(warped_grid, np.float32)) > 0.3).astype(np.float32)

@@ -66,6 +66,10 @@ class SubjectResult:
     missing_files: list = field(default_factory=list)
     error: Optional[str] = None
     used_affine_fallback: bool = False
+    # per-phase wall-clock (copy/register/segment/evaluate/qc/reorganize) —
+    # the fine-grained version of the reference's per-subject runtime report
+    # (`pipeline_bids_register_evaluate.sh:245-253`)
+    timings: dict = field(default_factory=dict)
 
 
 def _evaluate(sub_id, fx_seg_p, mov_seg_p, moved_seg_p, fx_p, mov_p, moved_p, warp_p, csv_dir):
@@ -153,6 +157,14 @@ def run_subject(
 ) -> SubjectResult:
     t0 = time.time()
     segmenter = segmenter or default_segmenter()
+    timings: dict = {}
+    _last = [t0]
+
+    def _mark(phase: str) -> None:
+        now = time.time()
+        timings[phase] = round(timings.get(phase, 0.0) + (now - _last[0]), 3)
+        _last[0] = now
+
     try:
         # ---- copy subject data (rsync parity, sh:83-89) ----
         imgs = subject_images(path_data, subject)
@@ -190,7 +202,11 @@ def run_subject(
                 moving_nii=pre_imgs.get(pcfg.mov_contrast) if mov_path == mov_p else None,
             )
 
+        _mark("copy")
         out = do_register(mov_p)
+        _mark("register")
+        for k, v in (out.get("timings") or {}).items():
+            timings[f"register.{k}"] = v
         mov_stem = mov_p.split(".")[0]
         fx_stem = fx_p.split(".")[0]
         moved_p = f"{mov_stem}_proc_reg_to_{pcfg.fx_contrast}.nii.gz"
@@ -205,18 +221,19 @@ def run_subject(
         segmenter(fx_proc_p, pcfg.fx_contrast, fx_seg_p)
         segmenter(mov_proc_p, pcfg.mov_contrast, mov_seg_p)
         segmenter(moved_p, pcfg.mov_contrast, moved_seg_p)
+        _mark("segment")
 
         used_fallback = False
         if pcfg.opt_affine:
             m = overlap_metrics(
-                nifti.load(fx_seg_p).get_fdata(), nifti.load(moved_seg_p).get_fdata()
+                nifti.load(fx_seg_p, cached=True).get_fdata(), nifti.load(moved_seg_p, cached=True).get_fdata()
             )
             if 100 * m["dice"] < pcfg.min_sc_dice:
                 # ---- affine fallback (opt_affine.sh:156-182) ----
                 used_fallback = True
                 field = centermass_affine_field(
-                    nifti.load(fx_seg_p).get_fdata(),
-                    nifti.load(mov_seg_p).get_fdata(),
+                    nifti.load(fx_seg_p, cached=True).get_fdata(),
+                    nifti.load(mov_seg_p, cached=True).get_fdata(),
                 )
                 mov_affine_p = f"{mov_stem}_affine.nii.gz"
                 # the centermass field lives on the *processed* grid; align the
@@ -227,6 +244,7 @@ def run_subject(
                 moved_p = f"{aff_stem}_proc_reg_to_{pcfg.fx_contrast}.nii.gz"
                 warp_p = f"{aff_stem}_proc_field_to_{pcfg.fx_contrast}.nii.gz"
                 segmenter(moved_p, pcfg.mov_contrast, moved_seg_p)
+            _mark("opt_affine")
 
         # ---- evaluators → CSVs (sh:142-156) ----
         sub_id = subject
@@ -236,9 +254,10 @@ def run_subject(
                   fx_proc_p, mov_proc_p, moved_p, warp_p, csv_dir)
 
         metrics = overlap_metrics(
-            nifti.load(fx_seg_p).get_fdata(), nifti.load(moved_seg_p).get_fdata()
+            nifti.load(fx_seg_p, cached=True).get_fdata(), nifti.load(moved_seg_p, cached=True).get_fdata()
         )
-        jac = folding_summary(nifti.load(warp_p).get_fdata())
+        jac = folding_summary(nifti.load(warp_p, cached=True).get_fdata())
+        _mark("evaluate")
 
         # ---- QC (sh:159-164) ----
         if qc is not None:
@@ -249,7 +268,7 @@ def run_subject(
                 from multimodal_registration_tpu.infer.register import apply_warp
                 from multimodal_registration_tpu.pipeline.qc import make_grid_volume
 
-                proc_shape = nifti.load(moved_p).shape[:3]
+                proc_shape = nifti.load(moved_p, cached=True).shape[:3]
                 warped_grid = apply_warp(
                     make_grid_volume(proc_shape), out["warp_data"], "linear",
                     rescale=out["scale"],
@@ -266,6 +285,7 @@ def run_subject(
                 },
                 warped_grid=warped_grid,
             )
+            _mark("qc")
 
         # ---- reorganize outputs (sh:166-221) ----
         final_fx, final_moved = fx_proc_p, moved_p
@@ -273,6 +293,7 @@ def run_subject(
             final_fx, final_moved = _reorganize_outputs(
                 work, pcfg, fx_p, mov_p, fx_proc_p, moved_p
             )
+            _mark("reorganize")
 
         # ---- output existence check (sh:223-243) ----
         missing = [p for p in (final_fx, final_moved) if not os.path.exists(p)]
@@ -288,6 +309,7 @@ def run_subject(
             metrics={"dice_after": metrics["dice"],
                      "pct_neg_detJ": jac["percentage_negative_detJa"]},
             missing_files=missing, used_affine_fallback=used_fallback,
+            timings=timings,
         )
     except Exception as e:  # noqa: BLE001 — per-subject isolation, like set -e per forked shell
         import traceback

@@ -58,7 +58,7 @@ class ThresholdSegmenter(Segmenter):
     def __call__(self, image_path: str, contrast: str, out_path: str) -> str:
         from scipy import ndimage
 
-        img = nifti.load(image_path)
+        img = nifti.load(image_path, cached=True)
         data = img.get_fdata()
         thr = np.percentile(data, self.percentile)
         mask = data >= thr
@@ -119,7 +119,7 @@ def apply_affine_field(image_path: str, field: np.ndarray, out_path: str, interp
 
     from multimodal_registration_tpu.ops.warp import warp as device_warp
 
-    img = nifti.load(image_path)
+    img = nifti.load(image_path, cached=True)
     moved = np.asarray(
         device_warp(jnp.asarray(img.get_fdata(), jnp.float32), jnp.asarray(field), interp)
     )

@@ -120,12 +120,14 @@ def write_gz_native(path: str, payload: bytes, level: int | None = None) -> bool
     """Deflate `payload` to `path` via the C++ writer; False when unavailable.
 
     ~4-6x faster than Python gzip level 9 on 192^3 volumes — the .nii.gz
-    save path of the batch pipeline (moved/field/seg/detJa per subject)."""
+    save path of the batch pipeline (moved/field/seg/detJa per subject).
+    Default level 1 = nibabel's ImageOpener default (the reference's write
+    path); float volumes gain little from higher levels."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "mmreg_write_file_gz"):
         return False
     if level is None:
-        level = int(os.environ.get("MMREG_GZ_LEVEL", 6))
+        level = int(os.environ.get("MMREG_GZ_LEVEL", 1))
     rc = lib.mmreg_write_file_gz(path.encode(), payload, len(payload), level)
     if rc != 0:
         raise IOError(f"native gzip write failed ({rc}) for {path}")

@@ -19,6 +19,7 @@ import gzip
 import io
 import os
 import struct
+import threading
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -242,11 +243,46 @@ def _affine_from_header(h: NiftiHeader) -> np.ndarray:
     return aff
 
 
-def load(path: str) -> NiftiImage:
-    """Load a ``.nii`` / ``.nii.gz`` file (parity: ``nib.load``)."""
+# Decoded-file LRU for the batch pipeline: one subject's large outputs
+# (proc images ~20 MB, fields ~60 MB) are re-read by the segmenter, the three
+# evaluators, the runner's metric pass, and QC — 2-4 gunzip decodes per file.
+# Keyed by (realpath, mtime_ns, size) so any rewrite invalidates. Cached
+# images are safe to share: ``get_fdata`` copies, and ``_data`` is marked
+# read-only before insertion.
+_LOAD_CACHE: "dict[tuple, NiftiImage]" = {}
+_LOAD_CACHE_LOCK = threading.Lock()
+_LOAD_CACHE_MAX = 8
+
+
+def load(path: str, cached: bool = False) -> NiftiImage:
+    """Load a ``.nii`` / ``.nii.gz`` file (parity: ``nib.load``).
+
+    ``cached=True`` consults/fills the process-wide decoded-file LRU (used by
+    the pipeline layer, where the same volumes are read by several stages).
+    """
+    key = None
+    if cached:
+        try:
+            st = os.stat(path)
+            key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = None
+        if key is not None:
+            with _LOAD_CACHE_LOCK:
+                img = _LOAD_CACHE.get(key)
+                if img is not None:
+                    return img
     opener = gzip.open if str(path).endswith(".gz") else open
     with opener(path, "rb") as f:
         raw = f.read()
+    img = _parse_image(raw)
+    if key is not None:
+        _cache_insert(key, img)
+    return img
+
+
+def _parse_image(raw: bytes) -> NiftiImage:
+    """Parse a full (uncompressed) NIfTI-1 byte stream into an image."""
     h, endian = _parse_header(raw)
     dtype = np.dtype(_DTYPES[h.datatype]).newbyteorder(endian)
     ndim = int(h.dim[0])
@@ -255,8 +291,15 @@ def load(path: str) -> NiftiImage:
     count = int(np.prod(shape)) if shape else 0
     data = np.frombuffer(raw, dtype=dtype, count=count, offset=offset)
     data = data.reshape(shape, order="F")
-    img = NiftiImage(np.ascontiguousarray(data), _affine_from_header(h), h)
-    return img
+    return NiftiImage(np.ascontiguousarray(data), _affine_from_header(h), h)
+
+
+def _cache_insert(key: tuple, img: NiftiImage) -> None:
+    img._data.flags.writeable = False
+    with _LOAD_CACHE_LOCK:
+        _LOAD_CACHE[key] = img
+        while len(_LOAD_CACHE) > _LOAD_CACHE_MAX:
+            _LOAD_CACHE.pop(next(iter(_LOAD_CACHE)))
 
 
 def save(img: NiftiImage, path: str) -> None:
@@ -300,8 +343,11 @@ def save(img: NiftiImage, path: str) -> None:
     payload = bytes(buf) + np.asfortranarray(data).tobytes(order="F")
     tmp = f"{path}.tmp.{os.getpid()}"
     if str(path).endswith(".gz"):
-        # native zlib writer (level 6) when the C++ runtime is built — Python
-        # gzip at level 9 costs seconds per 192^3 volume in the batch pipeline
+        # native zlib writer when the C++ runtime is built — Python gzip at
+        # level 9 costs seconds per 192^3 volume in the batch pipeline.
+        # Default level 1 matches nibabel's ImageOpener default (the
+        # reference's write path) and is 3-5x faster than level 6 on float
+        # volumes for a few percent larger files (MMREG_GZ_LEVEL overrides).
         wrote = False
         try:
             from multimodal_registration_tpu.utils.native import write_gz_native
@@ -312,7 +358,8 @@ def save(img: NiftiImage, path: str) -> None:
         if not wrote:
             # mtime=0 for reproducible bytes
             bio = io.BytesIO()
-            with gzip.GzipFile(fileobj=bio, mode="wb", mtime=0, compresslevel=6) as f:
+            level = int(os.environ.get("MMREG_GZ_LEVEL", 1))
+            with gzip.GzipFile(fileobj=bio, mode="wb", mtime=0, compresslevel=level) as f:
                 f.write(payload)
             with open(tmp, "wb") as f:
                 f.write(bio.getvalue())
@@ -320,6 +367,16 @@ def save(img: NiftiImage, path: str) -> None:
         with open(tmp, "wb") as f:
             f.write(payload)
     os.replace(tmp, path)
+    # prime the decoded-file LRU: pipeline stages re-read what was just
+    # written, and the uncompressed payload is already in hand
+    try:
+        st = os.stat(path)
+        _cache_insert(
+            (os.path.realpath(path), st.st_mtime_ns, st.st_size),
+            _parse_image(payload),
+        )
+    except Exception:
+        pass
 
 
 def aff2axcodes(affine: np.ndarray, labels=(("L", "R"), ("P", "A"), ("I", "S"))) -> tuple:

@@ -113,6 +113,11 @@ def test_run_batch_with_config_and_opt_affine(tmp_path):
     # per-subject logs + summary
     assert os.path.exists(os.path.join(out, "log", "sub-01.log"))
     assert os.path.exists(os.path.join(out, "batch_summary.json"))
+    # per-phase latency attribution (pipeline_throughput bench contract)
+    for r in results:
+        for phase in ("register", "segment", "evaluate", "qc", "reorganize",
+                      "register.predict", "register.postprocess"):
+            assert phase in r.timings, (r.subject, sorted(r.timings))
 
 
 def test_reorganized_output_layout(tmp_path):
