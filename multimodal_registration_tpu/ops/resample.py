@@ -133,7 +133,7 @@ def affine_resample(
     # device resamples per pipeline subject when the fixed grid is already
     # 1 mm (postprocess: moved + 3 warp components back to the moving grid).
     if tuple(int(s) for s in out_shape) == tuple(vol.shape[:3]) and np.allclose(
-        M, np.eye(4), atol=1e-9
+        M, np.eye(4), rtol=0, atol=1e-9
     ):
         return np.asarray(vol, np.float64)
     if order in (0, 1):

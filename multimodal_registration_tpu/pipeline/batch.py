@@ -67,6 +67,12 @@ def run_batch(
     sharding=None,
     **pipeline_kwargs,
 ):
+    # pipeline stages re-read just-written volumes — opt into save-side
+    # priming of the decoded-file LRU for this process
+    from multimodal_registration_tpu.utils import nifti as _nifti
+
+    _nifti.enable_save_prime()
+
     cfg = InferenceConfig.from_json(config_path) if config_path else InferenceConfig()
     if sharding:
         cfg.sharding = {**cfg.sharding, **{k: v for k, v in sharding.items() if v}}
@@ -106,15 +112,16 @@ def run_batch(
     _pf_iter = iter(subjects)
     _pf_window = max(2, 2 * max(jobs, 1))
     _pf_outstanding = [0]
-    try:
-        if os.environ.get("MMREG_NO_PREFETCH"):  # A/B knob (pipeline_throughput bench)
-            raise RuntimeError("prefetch disabled via MMREG_NO_PREFETCH")
-        from multimodal_registration_tpu.pipeline.bids import subject_images
-        from multimodal_registration_tpu.utils.native import PrefetchPool
+    # MMREG_NO_PREFETCH is a deliberate A/B knob (pipeline_throughput bench),
+    # kept out of the try so it isn't conflated with real import/init failures
+    if not os.environ.get("MMREG_NO_PREFETCH"):
+        try:
+            from multimodal_registration_tpu.pipeline.bids import subject_images
+            from multimodal_registration_tpu.utils.native import PrefetchPool
 
-        prefetch = PrefetchPool(n_threads=max(jobs, 2))
-    except Exception:
-        prefetch = None
+            prefetch = PrefetchPool(n_threads=max(jobs, 2))
+        except Exception:
+            prefetch = None
 
     def _pf_top_up():
         if prefetch is None:

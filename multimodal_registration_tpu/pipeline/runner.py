@@ -240,6 +240,11 @@ def run_subject(
                 # processed moving volume, then re-register from it
                 apply_affine_field(mov_proc_p, field, mov_affine_p)
                 out = do_register(mov_affine_p)
+                # the re-registration's per-phase timings land under
+                # opt_affine.register.* so phase attribution stays correct
+                # for fallback subjects (register.* keeps the first call's)
+                for k, v in (out.get("timings") or {}).items():
+                    timings[f"opt_affine.register.{k}"] = v
                 aff_stem = mov_affine_p.split(".")[0]
                 moved_p = f"{aff_stem}_proc_reg_to_{pcfg.fx_contrast}.nii.gz"
                 warp_p = f"{aff_stem}_proc_field_to_{pcfg.fx_contrast}.nii.gz"

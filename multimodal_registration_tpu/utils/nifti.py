@@ -20,6 +20,7 @@ import io
 import os
 import struct
 import threading
+import zlib
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -81,6 +82,20 @@ class NiftiHeader:
     def get_data_shape(self):
         ndim = int(self.dim[0])
         return tuple(int(d) for d in self.dim[1 : 1 + ndim])
+
+    def copy(self) -> "NiftiHeader":
+        """Independent copy (array fields deep-copied) — used by the decoded-
+        file cache so callers can mutate headers without corrupting entries."""
+        import dataclasses
+
+        return dataclasses.replace(
+            self,
+            dim=self.dim.copy(),
+            pixdim=self.pixdim.copy(),
+            quatern=self.quatern.copy(),
+            qoffset=self.qoffset.copy(),
+            srow=self.srow.copy(),
+        )
 
 
 def _quaternion_to_rotation(b, c, d, qfac):
@@ -246,12 +261,32 @@ def _affine_from_header(h: NiftiHeader) -> np.ndarray:
 # Decoded-file LRU for the batch pipeline: one subject's large outputs
 # (proc images ~20 MB, fields ~60 MB) are re-read by the segmenter, the three
 # evaluators, the runner's metric pass, and QC — 2-4 gunzip decodes per file.
-# Keyed by (realpath, mtime_ns, size) so any rewrite invalidates. Cached
-# images are safe to share: ``get_fdata`` copies, and ``_data`` is marked
-# read-only before insertion.
+# Keyed by (realpath, mtime_ns, size) so any rewrite invalidates. Cache hits
+# return a per-caller view: ``_data`` is shared (read-only) but header/affine
+# are fresh copies, so a caller editing e.g. ``intent_code`` before a re-save
+# cannot corrupt the entry. ``save`` primes the cache only once caching is in
+# use (first ``load(cached=True)``) or the pipeline enables it explicitly —
+# one-shot CLIs and training exports don't pay the decode copy or retention.
 _LOAD_CACHE: "dict[tuple, NiftiImage]" = {}
 _LOAD_CACHE_LOCK = threading.Lock()
 _LOAD_CACHE_MAX = 8
+_LOAD_CACHE_ACTIVE = False
+
+
+def enable_save_prime() -> None:
+    """Opt the process into save-side cache priming (the pipeline layer calls
+    this; it is also enabled implicitly by the first ``load(cached=True)``)."""
+    global _LOAD_CACHE_ACTIVE
+    _LOAD_CACHE_ACTIVE = True
+
+
+def _cache_view(img: NiftiImage) -> NiftiImage:
+    """Per-caller view of a cached image: shared read-only data, own header."""
+    view = NiftiImage.__new__(NiftiImage)
+    view._data = img._data
+    view.affine = img.affine.copy()
+    view.header = img.header.copy()
+    return view
 
 
 def load(path: str, cached: bool = False) -> NiftiImage:
@@ -262,6 +297,7 @@ def load(path: str, cached: bool = False) -> NiftiImage:
     """
     key = None
     if cached:
+        enable_save_prime()
         try:
             st = os.stat(path)
             key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
@@ -270,14 +306,15 @@ def load(path: str, cached: bool = False) -> NiftiImage:
         if key is not None:
             with _LOAD_CACHE_LOCK:
                 img = _LOAD_CACHE.get(key)
-                if img is not None:
-                    return img
+            if img is not None:
+                return _cache_view(img)
     opener = gzip.open if str(path).endswith(".gz") else open
     with opener(path, "rb") as f:
         raw = f.read()
     img = _parse_image(raw)
     if key is not None:
         _cache_insert(key, img)
+        return _cache_view(img)
     return img
 
 
@@ -300,6 +337,45 @@ def _cache_insert(key: tuple, img: NiftiImage) -> None:
         _LOAD_CACHE[key] = img
         while len(_LOAD_CACHE) > _LOAD_CACHE_MAX:
             _LOAD_CACHE.pop(next(iter(_LOAD_CACHE)))
+
+
+# ---- adaptive .gz writer -----------------------------------------------------
+#
+# zlib's DEFAULT strategy collapses to ~10 MB/s on float-volume payloads (the
+# mantissa bytes are incompressible; the LZ77 hash chains fill with false
+# candidates and the matcher churns) while compressible data flies at
+# ~200 MB/s — measured on this host (PERF.md round 4). Since gzip members
+# concatenate (RFC 1952 §2.2; Python gzip, zlib gzread, and nibabel's opener
+# all read multi-member files), each 4 MB chunk is compressed independently
+# with the cheapest strategy that still pays:
+#   probe ratio < 0.40  → DEFAULT level 1 (smooth/zero data: fast AND small)
+#   probe ratio < 0.92  → Z_RLE level 1   (same ratio as DEFAULT on mixed
+#                                          volume data at ~3x the speed)
+#   else                → stored (level 0, ~memcpy speed; beats 10 MB/s for
+#                                 a 7% larger file)
+_GZ_CHUNK = 4 << 20
+_GZ_PROBE = 32 << 10
+
+
+def _gz_member(chunk, level: int, strategy: int) -> bytes:
+    co = zlib.compressobj(level, zlib.DEFLATED, 31, 9, strategy)
+    return co.compress(chunk) + co.flush()
+
+
+def _gz_compress_adaptive(payload: bytes) -> bytes:
+    mv = memoryview(payload)
+    parts = []
+    for s in range(0, len(payload), _GZ_CHUNK):
+        chunk = mv[s : s + _GZ_CHUNK]
+        probe = bytes(chunk[:_GZ_PROBE])
+        r = len(_gz_member(probe, 1, zlib.Z_RLE)) / max(len(probe), 1)
+        if r < 0.40:
+            parts.append(_gz_member(chunk, 1, zlib.Z_DEFAULT_STRATEGY))
+        elif r < 0.92:
+            parts.append(_gz_member(chunk, 1, zlib.Z_RLE))
+        else:
+            parts.append(_gz_member(chunk, 0, zlib.Z_DEFAULT_STRATEGY))
+    return b"".join(parts)
 
 
 def save(img: NiftiImage, path: str) -> None:
@@ -343,18 +419,23 @@ def save(img: NiftiImage, path: str) -> None:
     payload = bytes(buf) + np.asfortranarray(data).tobytes(order="F")
     tmp = f"{path}.tmp.{os.getpid()}"
     if str(path).endswith(".gz"):
-        # native zlib writer when the C++ runtime is built — Python gzip at
-        # level 9 costs seconds per 192^3 volume in the batch pipeline.
-        # Default level 1 matches nibabel's ImageOpener default (the
-        # reference's write path) and is 3-5x faster than level 6 on float
-        # volumes for a few percent larger files (MMREG_GZ_LEVEL overrides).
+        mode = os.environ.get("MMREG_GZ_MODE", "adaptive")
         wrote = False
-        try:
-            from multimodal_registration_tpu.utils.native import write_gz_native
+        if mode == "adaptive":
+            with open(tmp, "wb") as f:
+                f.write(_gz_compress_adaptive(payload))
+            wrote = True
+        if not wrote:
+            # classic single-member path: native zlib writer when the C++
+            # runtime is built, else Python gzip (level 1 = nibabel's
+            # ImageOpener default, the reference's write path;
+            # MMREG_GZ_LEVEL overrides)
+            try:
+                from multimodal_registration_tpu.utils.native import write_gz_native
 
-            wrote = write_gz_native(tmp, payload)
-        except Exception:
-            wrote = False
+                wrote = write_gz_native(tmp, payload)
+            except Exception:
+                wrote = False
         if not wrote:
             # mtime=0 for reproducible bytes
             bio = io.BytesIO()
@@ -368,15 +449,18 @@ def save(img: NiftiImage, path: str) -> None:
             f.write(payload)
     os.replace(tmp, path)
     # prime the decoded-file LRU: pipeline stages re-read what was just
-    # written, and the uncompressed payload is already in hand
-    try:
-        st = os.stat(path)
-        _cache_insert(
-            (os.path.realpath(path), st.st_mtime_ns, st.st_size),
-            _parse_image(payload),
-        )
-    except Exception:
-        pass
+    # written, and the uncompressed payload is already in hand. Gated on the
+    # cache being in use at all — otherwise every save would pay a full
+    # decode copy and the process would retain up to 8 volumes for nothing.
+    if _LOAD_CACHE_ACTIVE:
+        try:
+            st = os.stat(path)
+            _cache_insert(
+                (os.path.realpath(path), st.st_mtime_ns, st.st_size),
+                _parse_image(payload),
+            )
+        except Exception:
+            pass
 
 
 def aff2axcodes(affine: np.ndarray, labels=(("L", "R"), ("P", "A"), ("I", "S"))) -> tuple:

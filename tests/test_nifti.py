@@ -216,3 +216,40 @@ class TestSpecGoldenBytes:
         qb, qc, qd = struct.unpack_from("<3f", buf, 256)
         # identity rotation → zero quaternion b/c/d components
         np.testing.assert_allclose([qb, qc, qd], [0, 0, 0], atol=1e-6)
+
+
+class TestAdaptiveGzWriter:
+    """The multi-member adaptive .gz writer (utils/nifti.py round 4): every
+    strategy tier must produce files readable by our loader, Python gzip,
+    the native C++ reader, and plain gunzip (exercised in CI via gzip)."""
+
+    def _roundtrip(self, tmp_path, data):
+        import gzip as _gzip
+
+        p = str(tmp_path / "vol.nii.gz")
+        nifti.save(nifti.NiftiImage(data, np.eye(4)), p)
+        back = nifti.load(p)
+        np.testing.assert_array_equal(np.asarray(back.dataobj), data)
+        # external multi-member decode
+        raw = _gzip.decompress(open(p, "rb").read())
+        assert len(raw) == 352 + data.nbytes
+
+    def test_smooth_tier(self, tmp_path):  # DEFAULT-strategy chunks
+        x = np.linspace(0, 4, 48, dtype=np.float32)
+        data = (np.sin(x)[:, None, None] * np.ones((48, 48, 48))).astype(np.float32)
+        self._roundtrip(tmp_path, data)
+
+    def test_noise_tier(self, tmp_path):  # stored chunks
+        data = np.random.default_rng(3).standard_normal((48, 48, 48)).astype(np.float32)
+        self._roundtrip(tmp_path, data)
+
+    def test_mixed_tier(self, tmp_path):  # RLE chunks + multi-chunk payload
+        rng = np.random.default_rng(4)
+        data = 0.01 * rng.standard_normal((128, 128, 96)).astype(np.float32)
+        data[:40] = 0.0
+        self._roundtrip(tmp_path, data)
+
+    def test_classic_mode_still_works(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("MMREG_GZ_MODE", "classic")
+        data = np.random.default_rng(5).standard_normal((32, 32, 32)).astype(np.float32)
+        self._roundtrip(tmp_path, data)
