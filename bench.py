@@ -36,11 +36,28 @@ from multimodal_registration_tpu.models.vxm_dense import VxmConfig, VxmDense, in
 SHAPE = (192, 192, 192)
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
 
+# headline architectures: the reference's TRAINING widths (config/config.json:
+# 44-45) and its published INFERENCE widths (config/config_inference.json:8-9,
+# loaded at bids_registration.py:439)
+ARCHS = {
+    "train64": dict(
+        enc=(64,) * 4, dec=(64,) * 6,
+        metric="registered_192cube_vol_pairs_per_sec",
+        baseline_key="tf_cpu_pairs_per_sec_192",
+    ),
+    "infer256": dict(
+        enc=(256,) * 4, dec=(256,) * 6,
+        metric="registered_192cube_enc256_pairs_per_sec",
+        baseline_key="tf_cpu_pairs_per_sec_192_enc256",
+    ),
+}
 
-def measure_tpu(shape=SHAPE, iters=10, batch=1):
+
+def measure_tpu(shape=SHAPE, iters=10, batch=1, arch="train64"):
+    a = ARCHS[arch]
     cfg = VxmConfig(
-        enc=(64, 64, 64, 64),
-        dec=(64, 64, 64, 64, 64, 64),
+        enc=a["enc"],
+        dec=a["dec"],
         int_steps=5,
         int_res=2,
         svf_res=2,
@@ -73,20 +90,23 @@ def measure_tpu(shape=SHAPE, iters=10, batch=1):
     return batch / dt
 
 
-def get_baseline():
+def get_baseline(arch="train64"):
+    a = ARCHS[arch]
+    entry = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)
+            entry = json.load(f)
+    if a["baseline_key"] in entry and entry[a["baseline_key"]]:
+        return entry
     try:
         from benchmarks.tf_baseline import measure_tf_cpu
 
-        pps_192 = measure_tf_cpu((192, 192, 192), iters=1)
-        entry = {
-            "tf_cpu_pairs_per_sec_192": pps_192,
-            "method": "measured directly at 192^3 (TF-CPU, 1 iter)",
-        }
+        pps_192 = measure_tf_cpu((192, 192, 192), iters=1, enc=a["enc"], dec=a["dec"])
+        entry[a["baseline_key"]] = pps_192
+        entry[f"method_{arch}"] = "measured directly at 192^3 (TF-CPU, 1 iter)"
     except Exception as e:  # pragma: no cover
-        entry = {"tf_cpu_pairs_per_sec_192": None, "method": f"failed: {e}"}
+        entry[a["baseline_key"]] = None
+        entry[f"method_{arch}"] = f"failed: {e}"
     with open(BASELINE_CACHE, "w") as f:
         json.dump(entry, f)
     return entry
@@ -99,15 +119,19 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help="pairs per forward (batch>1 re-measure, PERF.md)")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--arch", default="train64", choices=sorted(ARCHS),
+                    help="train64 = headline (driver contract, default); "
+                         "infer256 = the published inference widths "
+                         "(config_inference.json:8-9)")
     args = ap.parse_args()
-    value = measure_tpu(iters=args.iters, batch=args.batch)
-    baseline = get_baseline()
-    base = baseline.get("tf_cpu_pairs_per_sec_192")
+    value = measure_tpu(iters=args.iters, batch=args.batch, arch=args.arch)
+    baseline = get_baseline(args.arch)
+    base = baseline.get(ARCHS[args.arch]["baseline_key"])
     vs = (value / base) if base else 1.0
     print(
         json.dumps(
             {
-                "metric": "registered_192cube_vol_pairs_per_sec",
+                "metric": ARCHS[args.arch]["metric"],
                 "value": round(value, 4),
                 "unit": "pairs/s",
                 "vs_baseline": round(vs, 2),

@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--subjects", type=int, default=4)
     ap.add_argument("--configs", default="default,noprefetch,jobs2",
                     help="comma list: default | noprefetch | jobs2 | jobs4")
+    ap.add_argument("--dataset-dir", default="",
+                    help="persistent dataset dir: built once, reused on "
+                         "re-runs (the 160^3-class build costs ~5 min on TPU)")
     args = ap.parse_args()
 
     if args.quick:
@@ -99,12 +102,28 @@ def main():
     engine_cfg = Trainer(tcfg).engine_cfg
 
     root = tempfile.mkdtemp(prefix="ppl_bench_")
-    data = os.path.join(root, "data")
-    t_build = time.time()
-    subjects = build_dataset(data, shape, num_labels, args.subjects,
-                             engine_cfg, (tcfg.im_scales, tcfg.def_scales),
-                             maps_seed=4242)
-    t_build = time.time() - t_build
+    if args.dataset_dir:
+        data = args.dataset_dir
+        marker = os.path.join(data, f".built_{shape[0]}x{shape[2]}_{args.subjects}")
+        if os.path.exists(marker):
+            subjects = sorted(
+                d for d in os.listdir(data) if d.startswith("sub-")
+            )[: args.subjects]
+            t_build = 0.0
+        else:
+            t_build = time.time()
+            subjects = build_dataset(data, shape, num_labels, args.subjects,
+                                     engine_cfg, (tcfg.im_scales, tcfg.def_scales),
+                                     maps_seed=4242)
+            t_build = time.time() - t_build
+            open(marker, "w").close()
+    else:
+        data = os.path.join(root, "data")
+        t_build = time.time()
+        subjects = build_dataset(data, shape, num_labels, args.subjects,
+                                 engine_cfg, (tcfg.im_scales, tcfg.def_scales),
+                                 maps_seed=4242)
+        t_build = time.time() - t_build
 
     cfg_path = os.path.join(root, "cfg_inference.json")
     with open(cfg_path, "w") as f:

@@ -94,11 +94,12 @@ def build_tf_forward(shape, enc=(64, 64, 64, 64), dec=(64, 64, 64, 64, 64, 64)):
     return tf.keras.Model([mov, fx], [moved, flow])
 
 
-def measure_tf_cpu(shape=(96, 96, 96), iters=3):
+def measure_tf_cpu(shape=(96, 96, 96), iters=3,
+                   enc=(64, 64, 64, 64), dec=(64, 64, 64, 64, 64, 64)):
     import tensorflow as tf
 
     tf.config.set_visible_devices([], "GPU")
-    model = build_tf_forward(shape)
+    model = build_tf_forward(shape, enc=tuple(enc), dec=tuple(dec))
     a = np.zeros((1, *shape, 1), np.float32)
     fn = tf.function(lambda m, f: model([m, f]))
     fn(a, a)  # trace + warmup

@@ -40,12 +40,42 @@ def _jacobian_det(ddf: jnp.ndarray):
     return det
 
 
+def _jacobian_det_host(ddf: np.ndarray) -> np.ndarray:
+    """Numpy twin of :func:`_jacobian_det` (same stencil and determinant)."""
+
+    def stencil(f, axis):
+        sl = [slice(2, -2)] * 3
+        out = []
+        for off in (-2, -1, 1, 2):
+            s = list(sl)
+            s[axis] = slice(2 + off, f.shape[axis] - 2 + off or None)
+            out.append(f[tuple(s)])
+        m2, m1, p1, p2 = out
+        return (m2 - 8.0 * m1 + 8.0 * p1 - p2) / 12.0
+
+    J = np.stack([stencil(ddf, 0), stencil(ddf, 1), stencil(ddf, 2)], axis=-1)
+    J = J + np.eye(3, dtype=ddf.dtype)
+    a, b, c = J[..., 0, 0], J[..., 0, 1], J[..., 0, 2]
+    d, e, f = J[..., 1, 0], J[..., 1, 1], J[..., 1, 2]
+    g, h, i = J[..., 2, 0], J[..., 2, 1], J[..., 2, 2]
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
 def jacobian_determinant(ddf: np.ndarray) -> np.ndarray:
-    """Accepts (X, Y, Z, 3) or the NIfTI field layout (X, Y, Z, 1, 3)."""
+    """Accepts (X, Y, Z, 3) or the NIfTI field layout (X, Y, Z, 1, 3).
+
+    Host numpy by default — the evaluator's input is a host array in every
+    pipeline call site, and a 192-class field upload over the tunnel costs
+    ~3 s vs <1 s of streaming stencil math (PERF.md round 4).
+    ``MMREG_EVAL_DEVICE=1`` restores the device path."""
+    import os
+
     arr = np.asarray(ddf, np.float32)
     if arr.ndim == 5:
         arr = arr[:, :, :, 0, :]
-    return np.asarray(_jacobian_det(jnp.asarray(arr)))
+    if os.environ.get("MMREG_EVAL_DEVICE"):
+        return np.asarray(_jacobian_det(jnp.asarray(arr)))
+    return _jacobian_det_host(arr)
 
 
 def folding_summary(ddf: np.ndarray) -> dict:

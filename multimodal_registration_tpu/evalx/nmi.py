@@ -48,11 +48,43 @@ def _nmi_jit(a: jnp.ndarray, b: jnp.ndarray, bins: int):
     return (h0 + h1) / h01
 
 
+def _nmi_host(a: np.ndarray, b: np.ndarray, bins: int) -> float:
+    """Numpy twin of :func:`_nmi_jit` (identical binning/entropy semantics)."""
+
+    def bin_idx(x):
+        x = x.reshape(-1).astype(np.float64)
+        lo, hi = x.min(), x.max()
+        w = max(hi - lo, 1e-12)
+        return np.clip(np.floor((x - lo) / w * bins).astype(np.int64), 0, bins - 1)
+
+    joint = np.bincount(
+        bin_idx(a) * bins + bin_idx(b), minlength=bins * bins
+    ).astype(np.float64).reshape(bins, bins)
+
+    def entropy(p):
+        p = p / p.sum()
+        nz = p[p > 0]
+        return float(-(nz * np.log(nz)).sum())
+
+    return (entropy(joint.sum(0)) + entropy(joint.sum(1))) / entropy(joint.reshape(-1))
+
+
 def normalized_mutual_information(image0: np.ndarray, image1: np.ndarray, bins: int = 100) -> float:
-    return float(
-        _nmi_jit(
-            jnp.asarray(np.asarray(image0, np.float32)),
-            jnp.asarray(np.asarray(image1, np.float32)),
-            bins,
+    """NMI of two volumes.
+
+    Host numpy by default: the inputs live in host memory in every pipeline
+    call site, and on the tunnel-attached TPU the two ~20 MB uploads cost
+    ~100x the bincount (PERF.md round 4). ``MMREG_EVAL_DEVICE=1`` restores
+    the device joint-histogram path (right choice when volumes are already
+    device-resident, e.g. direct-attached deployments)."""
+    import os
+
+    if os.environ.get("MMREG_EVAL_DEVICE"):
+        return float(
+            _nmi_jit(
+                jnp.asarray(np.asarray(image0, np.float32)),
+                jnp.asarray(np.asarray(image1, np.float32)),
+                bins,
+            )
         )
-    )
+    return _nmi_host(np.asarray(image0, np.float32), np.asarray(image1, np.float32), bins)

@@ -18,6 +18,9 @@ Parity target: ``register`` of `bids_two_steps_registration.py:274-546`:
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,7 +33,39 @@ from multimodal_registration_tpu.infer.register import (
     postprocess_and_save,
 )
 from multimodal_registration_tpu.ops.field import compose_fields, compose_fields_batch
+from multimodal_registration_tpu.ops.resize import rescale_field
 from multimodal_registration_tpu.utils import nifti
+
+
+@partial(jax.jit, static_argnames=("scale", "out_shape"))
+def _compose_full_jit(w1, w2, scale, out_shape):
+    """Upsample both step fields to the image grid and compose there.
+
+    Folding rationale (VERDICT r3 #3, PERF.md round 4): ``compose`` samples
+    phi1 by linear interpolation at displaced points; at the int-res grid the
+    interpolation error of the smooth step-1 field (mean |flow| ~3 voxels)
+    is what folds the EXPORTED full-res field once it is upsampled. Composing
+    on the grid the evaluator differentiates removes that resampling step."""
+    w1f = rescale_field(w1, scale, out_shape=out_shape)
+    w2f = rescale_field(w2, scale, out_shape=out_shape)
+    return compose_fields(w1f, w2f)
+
+
+def _compose_final(cfg, warp1, warp2, scale, full_shape):
+    """Final-field composition honoring ``cfg.cascade_compose_res``.
+
+    Returns (warp_data, scale): 'full' composes on the image grid (returned
+    scale 1); 'int' keeps the reference semantics — compose at int-res,
+    upsampled later by the shared postprocess
+    (`bids_two_steps_registration.py:324` + `:515`)."""
+    if cfg.cascade_compose_res == "full" and scale != 1:
+        warp_data = np.asarray(
+            _compose_full_jit(
+                jnp.asarray(warp1), jnp.asarray(warp2), int(scale), tuple(full_shape)
+            )
+        )
+        return warp_data, 1
+    return np.asarray(compose_fields(jnp.asarray(warp1), jnp.asarray(warp2))), scale
 
 
 def _blend(cfg, pre, warps, coords, mov_shape, model_in_shape):
@@ -83,7 +118,7 @@ def register_two_steps(
             moved1 = apply_warp(mov_data, warp1, "nearest", rescale=scale)
         moved2_b, warp2_b = reg2.predict(moved1[None], fx_data[None])
         warp2 = warp2_b[0]
-        warp_data = np.asarray(compose_fields(jnp.asarray(warp1), jnp.asarray(warp2)))
+        warp_data, scale = _compose_final(cfg, warp1, warp2, scale, mov_data.shape[:3])
         if warp_interp == "linear":
             moved = moved2_b[0]
         else:
@@ -93,15 +128,29 @@ def register_two_steps(
         mov_tiles = np.stack(pre.subvols_mov)
         moved1_t, warp1_t = reg1.predict(mov_tiles, fx_tiles)
         _, warp2_t = reg2.predict(moved1_t, fx_tiles)
-        # one batched compose over the stacked tiles: a single executable,
-        # halo cond hoisted above the batch (vs N eager per-tile dispatches
-        # on a 30s-5min-per-HLO backend)
-        composed = np.asarray(
-            compose_fields_batch(jnp.asarray(warp1_t), jnp.asarray(warp2_t))
-        )
-        warp_data, scale = _blend(
-            cfg, pre, composed, pre.subvol_coords, mov_data.shape, pre.model_in_shape
-        )
+        if cfg.cascade_compose_res == "full":
+            # blend each step's tiles to a full-volume field, then compose on
+            # the image grid (same folding rationale as the whole-vol path)
+            warp1_full, scale = _blend(
+                cfg, pre, warp1_t, pre.subvol_coords, mov_data.shape, pre.model_in_shape
+            )
+            warp2_full, _ = _blend(
+                cfg, pre, warp2_t, pre.subvol_coords, mov_data.shape, pre.model_in_shape
+            )
+            warp_data, scale = _compose_final(
+                cfg, warp1_full, warp2_full, scale, mov_data.shape[:3]
+            )
+        else:
+            # reference semantics: per-tile compose, then blend. One batched
+            # compose over the stacked tiles: a single executable, halo cond
+            # hoisted above the batch (vs N eager per-tile dispatches on a
+            # 30s-5min-per-HLO backend)
+            composed = np.asarray(
+                compose_fields_batch(jnp.asarray(warp1_t), jnp.asarray(warp2_t))
+            )
+            warp_data, scale = _blend(
+                cfg, pre, composed, pre.subvol_coords, mov_data.shape, pre.model_in_shape
+            )
         moved = apply_warp(mov_data, warp_data, "linear", rescale=scale)
     else:
         # subvol nearest: blend warp1 → warp volume → re-preprocess → model2
@@ -137,8 +186,8 @@ def register_two_steps(
                 f"cascade models disagree on field scale ({scale} vs "
                 f"{scale2}); use models with identical int_res"
             )
-        warp_data = np.asarray(
-            compose_fields(jnp.asarray(warp1_full), jnp.asarray(warp2_full))
+        warp_data, scale = _compose_final(
+            cfg, warp1_full, warp2_full, scale, mov_data.shape[:3]
         )
         moved = apply_warp(mov_data, warp_data, "nearest", rescale=scale)
 

@@ -32,6 +32,14 @@ class InferenceConfig:
     # reference's subvolume tiling, config_inference.json:2-4 / SURVEY §2.3).
     # Empty dict = single-chip. Values must multiply to <= available devices.
     sharding: dict = field(default_factory=dict)
+    # Two-step cascade: resolution of the final field composition.
+    # 'full' (default): upsample both step fields and compose on the image
+    # grid — ~5x less worst-case folding in the exported field (PERF.md
+    # round 4; the composition is sampled where the evaluator differentiates
+    # it). 'int' reproduces the reference exactly: compose at the model's
+    # int-res grid, upsample the composed field
+    # (`bids_two_steps_registration.py:324` + `:515`).
+    cascade_compose_res: str = "full"
 
     @classmethod
     def from_json(cls, path: str) -> "InferenceConfig":

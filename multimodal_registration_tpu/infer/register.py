@@ -99,6 +99,52 @@ def apply_warp(vol: np.ndarray, field: np.ndarray, interp: str, rescale: int = 1
     )
 
 
+@partial(jax.jit, static_argnames=("scale", "perm", "inv", "out_shape"))
+def _export_warp_jit(warp_data, scale, perm, inv, out_shape):
+    """Full-res field + RAI component permutation/sign-flip fused on device —
+    one transfer instead of a host upsample copy + two full-res numpy copies."""
+    w = warp_data
+    if scale != 1:
+        w = rescale_field(w, scale, out_shape=out_shape)
+    return jnp.stack([inv[i] * w[..., perm[i]] for i in range(3)], axis=-1)
+
+
+def _upsample2x_host(v: np.ndarray) -> np.ndarray:
+    """Numpy twin of the device corner-aligned 2x upsample
+    (``ops/resize._upsample2x_axis``): out[2i]=v[i], out[2i+1]=mean(v[i],v[i+1])
+    edge-clamped, applied to all three spatial axes of an (X,Y,Z,C) field."""
+    for ax in (2, 1, 0):
+        nxt = np.concatenate(
+            [np.take(v, range(1, v.shape[ax]), axis=ax),
+             np.take(v, [v.shape[ax] - 1], axis=ax)], axis=ax,
+        )
+        mid = (0.5 * (v + nxt)).astype(v.dtype)
+        v = np.stack([v, mid], axis=ax + 1).reshape(
+            *v.shape[:ax], 2 * v.shape[ax], *v.shape[ax + 1:]
+        )
+    return v
+
+
+def _export_warp_host(warp_data, scale, perm, inv):
+    """Host twin of :func:`_export_warp_jit` for the 1x/2x cases.
+
+    On the tunnel-attached TPU the jitted export costs a ~60 MB device→host
+    transfer (~3 s at the measured ~22 MB/s link) for ~0.3 s of memory-bound
+    interleaving — host wins whenever the field is already in host memory
+    (PERF.md round 4). ``MMREG_EXPORT_DEVICE=1`` restores the device path."""
+    w = np.asarray(warp_data, np.float32)
+    if scale == 2:
+        w = _upsample2x_host(w) * np.float32(scale)
+    return np.stack([np.float32(inv[i]) * w[..., perm[i]] for i in range(3)], axis=-1)
+
+
+def _out_dtype():
+    """Exported-volume dtype: f32 by default (halves the gzip payload of the
+    largest outputs); MMREG_F64_OUTPUTS=1 restores the reference's float64
+    writes (nilearn resample_img / numpy defaults) byte-for-byte."""
+    return np.float64 if os.environ.get("MMREG_F64_OUTPUTS") else np.float32
+
+
 def postprocess_and_save(
     warp_data: np.ndarray,
     scale: int,
@@ -107,27 +153,32 @@ def postprocess_and_save(
     moving_nii: nifti.NiftiImage,
     moved: np.ndarray,
     paths: dict,
+    timings: dict | None = None,
 ):
-    """Shared output stage (`bids_registration.py:387-429`)."""
+    """Shared output stage (`bids_registration.py:387-429`).
+
+    TPU-native restructure (round 4): the field upsample + RAI permutation run
+    in one jitted call (single device→host transfer), and the moved volume +
+    all three field components resample onto the original moving grid in ONE
+    channel-batched device spline call (the reference resamples them one at a
+    time host-side, `bids_registration.py:387-429`)."""
+    import time as _time
+
+    _t = [_time.time()]
+
+    def _mk(key):
+        if timings is not None:
+            now = _time.time()
+            timings[key] = round(now - _t[0], 3)
+            _t[0] = now
+
     # moved on the fixed/processed grid
     if "moved_proc" in paths:
-        nifti.save(nifti.NiftiImage(moved, fixed_proc.affine), paths["moved_proc"])
-
-    # moved resampled back to the original moving grid
-    moved_orig = affine_resample(
-        moved, fixed_proc.affine, moving_nii.affine, moving_nii.shape[:3], "spline"
-    )
-    if "moved_orig" in paths:
-        nifti.save(nifti.NiftiImage(moved_orig, moving_nii.affine), paths["moved_orig"])
-
-    # upsample the field to full resolution (scaling vectors)
-    if scale != 1:
-        full_shape = tuple(s * scale for s in warp_data.shape[:3])
-        warp_full = np.asarray(
-            rescale_field(jnp.asarray(warp_data, jnp.float32), scale, out_shape=full_shape)
+        nifti.save(
+            nifti.NiftiImage(np.asarray(moved, np.float32), fixed_proc.affine),
+            paths["moved_proc"],
         )
-    else:
-        warp_full = np.asarray(warp_data, np.float32)
+    _mk("postprocess.save_moved_proc")
 
     # RAI permutation / sign flips for sct_apply_transfo (`:401-421`)
     orientation_conv = "RAI"
@@ -141,28 +192,63 @@ def postprocess_and_save(
             perm[i] = fx_orient.index(opposite[ch])
             inversion[i] = -1
 
-    warp_exp = warp_full[:, :, :, None, :].copy()  # add time axis
-    src = warp_exp.copy()
-    for i in range(3):
-        warp_exp[..., i] = inversion[i] * src[..., perm[i]]
+    full_shape = tuple(int(s) * scale for s in warp_data.shape[:3])
+    if scale in (1, 2) and not os.environ.get("MMREG_EXPORT_DEVICE"):
+        warp_rai = _export_warp_host(warp_data, int(scale), perm, inversion)
+    else:
+        warp_rai = np.asarray(
+            _export_warp_jit(
+                jnp.asarray(warp_data, jnp.float32), int(scale),
+                tuple(perm), tuple(float(v) for v in inversion), full_shape,
+            )
+        )  # (X, Y, Z, 3) float32 on the proc grid, already RAI-exported
+    warp_exp = warp_rai[:, :, :, None, :]  # add time axis
+    _mk("postprocess.field_export")
+
+    # moved + field components back onto the original moving grid, one call
+    need_orig = ("moved_orig" in paths) or ("warp_orig" in paths)
+    moved_orig = None
+    warp_orig = None
+    if need_orig:
+        M = np.linalg.inv(fixed_proc.affine) @ moving_nii.affine
+        identity = tuple(moving_nii.shape[:3]) == tuple(np.shape(moved)[:3]) and np.allclose(
+            M, np.eye(4), rtol=0, atol=1e-9
+        )
+        if identity:
+            moved_orig = np.asarray(moved, np.float64)
+            warp_orig = warp_exp
+        else:
+            stacked = np.concatenate(
+                [np.asarray(moved, np.float32)[..., None], warp_rai], axis=-1
+            )
+            res = affine_resample(
+                stacked, fixed_proc.affine, moving_nii.affine,
+                moving_nii.shape[:3], "spline",
+            )
+            moved_orig = res[..., 0]
+            warp_orig = np.ascontiguousarray(res[..., 1:], dtype=np.float32)[:, :, :, None, :]
+    _mk("postprocess.resample_orig")
+
+    if "moved_orig" in paths:
+        nifti.save(
+            nifti.NiftiImage(moved_orig.astype(_out_dtype()), moving_nii.affine),
+            paths["moved_orig"],
+        )
+    _mk("postprocess.save_moved_orig")
 
     warp_img = nifti.NiftiImage(warp_exp, fixed_proc.affine)
     warp_img.header["intent_code"] = 1007
     if "warp_proc" in paths:
         nifti.save(warp_img, paths["warp_proc"])
+    _mk("postprocess.save_warp_proc")
 
     if "warp_orig" in paths:
         # f32 like the reference's field outputs (K.eval / nib write f32);
         # f64 would double the gzip payload of the largest output file
-        warp_orig = np.zeros((*moving_nii.shape[:3], 1, 3), np.float32)
-        for i in range(3):
-            warp_orig[..., 0, i] = affine_resample(
-                warp_exp[..., 0, i], fixed_proc.affine, moving_nii.affine,
-                moving_nii.shape[:3], "spline",
-            )
-        warp_orig_img = nifti.NiftiImage(warp_orig, moving_nii.affine)
+        warp_orig_img = nifti.NiftiImage(np.asarray(warp_orig, np.float32), moving_nii.affine)
         warp_orig_img.header["intent_code"] = 1007
         nifti.save(warp_orig_img, paths["warp_orig"])
+    _mk("postprocess.save_warp_orig")
 
     return moved_orig, warp_exp
 
@@ -270,7 +356,8 @@ def register(
         }
 
     moved_orig, warp_exp = postprocess_and_save(
-        warp_data, scale, pre.fixed, fixed_nii, moving_nii, moved, paths
+        warp_data, scale, pre.fixed, fixed_nii, moving_nii, moved, paths,
+        timings=timings,
     )
     _mark("postprocess")
     return {

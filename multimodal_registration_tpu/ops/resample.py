@@ -78,10 +78,15 @@ def _spline_axis_operator(n_in: int, n_out: int, scale: float, offset: float,
 
 @functools.partial(jax.jit, static_argnames=("axes_order",))
 def _apply_axis_operators_jit(volj, W0, W1, W2, axes_order):
+    # volj: (X, Y, Z) or (X, Y, Z, C) — channels ride along the einsum
+    # ellipsis, so a multi-component field resamples in ONE device call
+    # (the reference loops components host-side, bids_registration.py:387-429)
     hi = jax.lax.Precision.HIGHEST
-    out = jnp.einsum("ai,ijk->ajk", W0, volj, precision=hi)
-    out = jnp.einsum("bj,ajk->abk", W1, out, precision=hi)
-    out = jnp.einsum("ck,abk->abc", W2, out, precision=hi)
+    out = jnp.einsum("ai,ijk...->ajk...", W0, volj, precision=hi)
+    out = jnp.einsum("bj,ajk...->abk...", W1, out, precision=hi)
+    out = jnp.einsum("ck,abk...->abc...", W2, out, precision=hi)
+    if volj.ndim == 4:
+        axes_order = axes_order + (3,)
     return jnp.transpose(out, axes_order)
 
 
@@ -124,7 +129,11 @@ def affine_resample(
     mode: str = "constant",
     cval: float = 0.0,
 ) -> np.ndarray:
-    """Resample ``vol`` from grid ``in_affine`` onto ``(out_shape, out_affine)``."""
+    """Resample ``vol`` from grid ``in_affine`` onto ``(out_shape, out_affine)``.
+
+    ``vol`` may be ``(X, Y, Z)`` or ``(X, Y, Z, C)`` — the affine map acts on
+    the three spatial axes and channels ride along (one device call for a
+    multi-component displacement field)."""
     order = _ORDER[interpolation]
     M = np.linalg.inv(in_affine) @ out_affine
     # identity fast path: same grid, same shape — every interpolation order
@@ -143,15 +152,20 @@ def affine_resample(
         return out
     from scipy.ndimage import affine_transform
 
-    return affine_transform(
-        np.asarray(vol, np.float64),
-        M[:3, :3],
-        offset=M[:3, 3],
-        output_shape=tuple(int(s) for s in out_shape),
-        order=order,
-        mode=mode,
-        cval=cval,
-    )
+    def _scipy_one(v3):
+        return affine_transform(
+            np.asarray(v3, np.float64),
+            M[:3, :3],
+            offset=M[:3, 3],
+            output_shape=tuple(int(s) for s in out_shape),
+            order=order,
+            mode=mode,
+            cval=cval,
+        )
+
+    if np.ndim(vol) == 4:
+        return np.stack([_scipy_one(vol[..., c]) for c in range(vol.shape[3])], axis=-1)
+    return _scipy_one(vol)
 
 
 @functools.partial(jax.jit, static_argnames=("out_shape", "order", "mode", "cval"))
@@ -167,6 +181,8 @@ def _device_affine_resample_jit(volj, Mj, out_shape, order, mode, cval):
         # scipy's 'constant' boundary for order<=1: any coordinate strictly
         # outside [0, n-1] yields cval (verified against map_coordinates)
         inside = jnp.all((coords >= 0.0) & (coords <= in_dims), axis=-1)
+        if out.ndim == 4:
+            inside = inside[..., None]
         out = jnp.where(inside, out, cval)
     return out
 

@@ -68,10 +68,14 @@ def run_batch(
     **pipeline_kwargs,
 ):
     # pipeline stages re-read just-written volumes — opt into save-side
-    # priming of the decoded-file LRU for this process
+    # priming of the decoded-file LRU and write-behind compression (the
+    # ~2-4 s/subject of gzip+disk work overlaps the next subject's device
+    # wait; readers are served from the pending-content map, and the runner
+    # flushes before reorganize / external consumers)
     from multimodal_registration_tpu.utils import nifti as _nifti
 
     _nifti.enable_save_prime()
+    _nifti.enable_async_writes()
 
     cfg = InferenceConfig.from_json(config_path) if config_path else InferenceConfig()
     if sharding:

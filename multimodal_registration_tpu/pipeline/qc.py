@@ -59,6 +59,46 @@ def make_grid_volume(shape, spacing: int = 8) -> np.ndarray:
     return g
 
 
+def warped_grid_mosaic(warp_data: np.ndarray, scale: int, shape,
+                       n_slices: int = 6, spacing: int = 8) -> np.ndarray:
+    """Mosaic of the warped gridline volume, computed analytically on host.
+
+    Replaces the round-3 device path (make_grid_volume → full-res device warp
+    → mosaic): on the tunnel-attached TPU that costs a ~40 MB round trip for
+    a QC panel. The gridline volume is z-invariant and separable, so its
+    linear interpolation at warped coordinates has the closed form
+    ``A + B - A*B`` with A/B the tent distance to the nearest lattice plane —
+    evaluated only at the displayed slices (PERF.md round 4).
+    """
+    from scipy.ndimage import map_coordinates
+
+    X, Y, Z = [int(s) for s in shape[:3]]
+    idx = np.linspace(0, Z - 1, n_slices + 2, dtype=int)[1:-1]
+    GX, GY = np.meshgrid(np.arange(X, dtype=np.float64),
+                         np.arange(Y, dtype=np.float64), indexing="ij")
+
+    def tent(p, n):
+        # nearest lattice plane, restricted to planes that exist in [0, n)
+        near = spacing * np.round(p / spacing)
+        near = np.clip(near, 0, ((n - 1) // spacing) * spacing)
+        return np.clip(1.0 - np.abs(p - near), 0.0, 1.0)
+
+    panels = []
+    w = np.asarray(warp_data, np.float32)
+    for k in idx:
+        # int-res field sampled at the full-res slice (corner-aligned: q/scale)
+        coords = np.stack([GX / scale, GY / scale,
+                           np.full_like(GX, k / scale)], 0)
+        phix = map_coordinates(w[..., 0], coords, order=1, mode="nearest") * scale
+        phiy = map_coordinates(w[..., 1], coords, order=1, mode="nearest") * scale
+        px = np.clip(GX + phix, 0, X - 1)  # edge-clamped like the device warp
+        py = np.clip(GY + phiy, 0, Y - 1)
+        A, B = tent(px, X), tent(py, Y)
+        g = A + B - A * B
+        panels.append(g.T[::-1])
+    return np.concatenate(panels, axis=1).astype(np.float32)
+
+
 class QCReport:
     def __init__(self, qc_dir: str, title: str = "Registration QC"):
         self.qc_dir = qc_dir
@@ -76,18 +116,22 @@ class QCReport:
         seg_paths: dict | None = None,
         metrics: dict | None = None,
         warped_grid: np.ndarray | None = None,
+        grid_mosaic: np.ndarray | None = None,
     ):
         """Collect mosaics for one subject (numpy only — thread-safe).
 
-        ``warped_grid``: gridline volume warped by the subject's deformation
-        field (processed space) → rendered as the deformation-grid panel.
+        ``grid_mosaic``: precomputed warped-gridline mosaic (the cheap
+        :func:`warped_grid_mosaic` path). ``warped_grid``: a full warped
+        gridline VOLUME (legacy path, mosaicked here).
         """
         panels = []  # (name, img_mosaic, overlay_mosaic | None, overlay_cmap)
         segs = seg_paths or {}
         moved_mosaic = None
         for name, path in [("fixed", fixed_path), ("moving", moving_path), ("moved", moved_path)]:
-            vol = nifti.load(path, cached=True).get_fdata()
-            lo, hi = np.percentile(vol, [1, 99])
+            vol = nifti.load(path, cached=True).get_fdata(np.float32)
+            # display normalization from a stride-2 subsample — percentile
+            # sorts 4.9M f64 voxels otherwise, for a QC brightness window
+            lo, hi = np.percentile(vol[::2, ::2, ::2], [1, 99])
             vol = np.clip((vol - lo) / max(hi - lo, 1e-9), 0, 1)
             m = _mosaic(vol)
             if name == "moved":
@@ -96,8 +140,10 @@ class QCReport:
             if name in segs and os.path.exists(segs[name]):
                 overlay = _mosaic(nifti.load(segs[name], cached=True).get_fdata())
             panels.append((name, m, overlay, "autumn"))
-        if warped_grid is not None and moved_mosaic is not None:
-            grid_m = (_mosaic(np.asarray(warped_grid, np.float32)) > 0.3).astype(np.float32)
+        if grid_mosaic is None and warped_grid is not None:
+            grid_mosaic = _mosaic(np.asarray(warped_grid, np.float32))
+        if grid_mosaic is not None and moved_mosaic is not None:
+            grid_m = (np.asarray(grid_mosaic) > 0.3).astype(np.float32)
             panels.append(("moved + deformation grid", moved_mosaic, grid_m, "cool"))
         with self._lock:
             self.entries.append(

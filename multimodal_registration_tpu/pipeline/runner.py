@@ -25,10 +25,11 @@ import time
 from dataclasses import dataclass, field
 from typing import Optional
 
+import numpy as np
+
 # serializes error-log appends from `--jobs N` worker threads
 _ERRLOG_LOCK = threading.Lock()
 
-from multimodal_registration_tpu.evalx.jacobian import folding_summary
 from multimodal_registration_tpu.evalx.overlap import overlap_metrics
 from multimodal_registration_tpu.infer.cascade import register_two_steps
 from multimodal_registration_tpu.infer.config import InferenceConfig
@@ -50,6 +51,11 @@ class PipelineConfig:
     mov_contrast: str = "T1w"
     opt_affine: bool = False
     min_sc_dice: int = 80  # percent (opt_affine gate, opt_affine.sh:71)
+    # 'centermass' = reference parity (slice-wise in-plane COM translation,
+    # opt_affine.sh:174 — translation-only, inherits the reference's failure
+    # on rotation-dominant misalignment, see PARITY.md / the rotation study);
+    # 'rigid' = opt-in principal-axes rotation+translation fallback.
+    affine_fallback_mode: str = "centermass"
     two_step: bool = False
     csv_dir: str = "."
     debugging: bool = True  # keep intermediate files (sh DEBUGGING flag)
@@ -72,29 +78,42 @@ class SubjectResult:
     timings: dict = field(default_factory=dict)
 
 
-def _evaluate(sub_id, fx_seg_p, mov_seg_p, moved_seg_p, fx_p, mov_p, moved_p, warp_p, csv_dir):
-    """Run the three evaluators via the library API, appending the same CSVs
-    the reference writes (`pipeline_bids_register_evaluate.sh:142-156`)."""
+def _evaluate(sub_id, fx_seg_p, mov_seg_p, moved_seg_p, fx_p, mov_p, moved_p,
+              warp_p, csv_dir, moved_arr=None, warp_arr=None):
+    """Run the three evaluators via the array-level library API, appending the
+    same CSVs the reference writes (`pipeline_bids_register_evaluate.sh:142-156`).
+
+    ``moved_arr``/``warp_arr``: the just-computed volumes, passed in-memory so
+    the largest outputs aren't decoded back from disk; values equal the files
+    at ``moved_p``/``warp_p`` (both written f32). Returns the after-overlap
+    metrics and the folding summary so the caller doesn't recompute them."""
     from multimodal_registration_tpu.evalx.cli import (
-        eval_on_sc_seg,
-        eval_with_jacobian,
-        eval_with_mi,
+        eval_on_sc_seg_arrays,
+        eval_with_jacobian_arrays,
+        eval_with_mi_arrays,
     )
 
-    eval_on_sc_seg([
-        "--fx-seg-path", fx_seg_p, "--moving-seg-path", mov_seg_p,
-        "--warped-seg-path", moved_seg_p, "--sub-id", sub_id,
-        "--out-file", os.path.join(csv_dir, "metrics_on_sc_seg.csv"),
-    ])
-    eval_with_mi([
-        "--fx-im-path", fx_p, "--moving-im-path", mov_p, "--warped-im-path", moved_p,
-        "--sub-id", sub_id, "--out-file", os.path.join(csv_dir, "nmi.csv"),
-    ])
-    eval_with_jacobian([
-        "--def-field-path", warp_p, "--sub-id", sub_id,
-        "--out-file", os.path.join(csv_dir, "jacobian_det.csv"),
-        "--out-im-path", os.path.join(os.path.dirname(moved_p), "detJa.nii.gz"),
-    ])
+    _, _, m_after = eval_on_sc_seg_arrays(
+        nifti.load(fx_seg_p, cached=True).get_fdata(),
+        nifti.load(mov_seg_p, cached=True).get_fdata(),
+        nifti.load(moved_seg_p, cached=True).get_fdata(),
+        sub_id, os.path.join(csv_dir, "metrics_on_sc_seg.csv"),
+    )
+    if moved_arr is None:
+        moved_arr = nifti.load(moved_p, cached=True).get_fdata()
+    eval_with_mi_arrays(
+        nifti.load(fx_p, cached=True).get_fdata(),
+        nifti.load(mov_p, cached=True).get_fdata(),
+        moved_arr, sub_id, os.path.join(csv_dir, "nmi.csv"),
+    )
+    warp_img = nifti.load(warp_p, cached=True)  # cache hit; affine + fallback data
+    jac = eval_with_jacobian_arrays(
+        warp_arr if warp_arr is not None else warp_img.get_fdata(),
+        warp_img.affine, sub_id,
+        os.path.join(csv_dir, "jacobian_det.csv"),
+        os.path.join(os.path.dirname(moved_p), "detJa.nii.gz"),
+    )
+    return m_after, jac
 
 
 def _reorganize_outputs(work, pcfg, fx_p, mov_p, fx_proc_p, moved_p):
@@ -231,10 +250,18 @@ def run_subject(
             if 100 * m["dice"] < pcfg.min_sc_dice:
                 # ---- affine fallback (opt_affine.sh:156-182) ----
                 used_fallback = True
-                field = centermass_affine_field(
-                    nifti.load(fx_seg_p, cached=True).get_fdata(),
-                    nifti.load(mov_seg_p, cached=True).get_fdata(),
-                )
+                if pcfg.affine_fallback_mode == "rigid":
+                    from multimodal_registration_tpu.pipeline.segment import rigid_affine_field
+
+                    field = rigid_affine_field(
+                        nifti.load(fx_seg_p, cached=True).get_fdata(),
+                        nifti.load(mov_seg_p, cached=True).get_fdata(),
+                    )
+                else:
+                    field = centermass_affine_field(
+                        nifti.load(fx_seg_p, cached=True).get_fdata(),
+                        nifti.load(mov_seg_p, cached=True).get_fdata(),
+                    )
                 mov_affine_p = f"{mov_stem}_affine.nii.gz"
                 # the centermass field lives on the *processed* grid; align the
                 # processed moving volume, then re-register from it
@@ -255,31 +282,31 @@ def run_subject(
         sub_id = subject
         csv_dir = pcfg.csv_dir if os.path.isabs(pcfg.csv_dir) else os.path.join(path_out, pcfg.csv_dir)
         os.makedirs(csv_dir, exist_ok=True)
-        _evaluate(sub_id, fx_seg_p, mov_seg_p, moved_seg_p,
-                  fx_proc_p, mov_proc_p, moved_p, warp_p, csv_dir)
-
-        metrics = overlap_metrics(
-            nifti.load(fx_seg_p, cached=True).get_fdata(), nifti.load(moved_seg_p, cached=True).get_fdata()
+        # moved/warp values equal the just-written files (both f32 on disk);
+        # in the opt-affine fallback branch `out` was re-assigned alongside
+        # moved_p/warp_p, so the arrays always match the paths
+        metrics, jac = _evaluate(
+            sub_id, fx_seg_p, mov_seg_p, moved_seg_p,
+            fx_proc_p, mov_proc_p, moved_p, warp_p, csv_dir,
+            moved_arr=np.asarray(out["moved"], np.float32) if out.get("moved") is not None else None,
+            warp_arr=out["warp"],
         )
-        jac = folding_summary(nifti.load(warp_p, cached=True).get_fdata())
         _mark("evaluate")
 
         # ---- QC (sh:159-164) ----
         if qc is not None:
             # deformation-grid panel (sct_qc registration view, README.md:114):
-            # warp an in-plane gridline volume by the subject's field
-            warped_grid = None
+            # analytic warped-gridline mosaic, host-side (no device round trip)
+            grid_mosaic = None
             try:
-                from multimodal_registration_tpu.infer.register import apply_warp
-                from multimodal_registration_tpu.pipeline.qc import make_grid_volume
+                from multimodal_registration_tpu.pipeline.qc import warped_grid_mosaic
 
                 proc_shape = nifti.load(moved_p, cached=True).shape[:3]
-                warped_grid = apply_warp(
-                    make_grid_volume(proc_shape), out["warp_data"], "linear",
-                    rescale=out["scale"],
+                grid_mosaic = warped_grid_mosaic(
+                    out["warp_data"], out["scale"], proc_shape
                 )
             except Exception:
-                warped_grid = None
+                grid_mosaic = None
             qc.add_subject(
                 subject, fx_proc_p, mov_proc_p, moved_p,
                 seg_paths={"fixed": fx_seg_p, "moved": moved_seg_p},
@@ -288,11 +315,15 @@ def run_subject(
                     "pct_negative_detJ": jac["percentage_negative_detJa"],
                     "affine_fallback": used_fallback,
                 },
-                warped_grid=warped_grid,
+                grid_mosaic=grid_mosaic,
             )
             _mark("qc")
 
         # ---- reorganize outputs (sh:166-221) ----
+        # barrier: everything below touches the filesystem directly
+        # (shutil.move / os.path.exists), so pending write-behind saves
+        # must land first
+        nifti.flush_writes()
         final_fx, final_moved = fx_proc_p, moved_p
         if pcfg.reorganize:
             final_fx, final_moved = _reorganize_outputs(

@@ -39,6 +39,9 @@ class SCTSegmenter(Segmenter):
         return shutil.which("sct_deepseg_sc") is not None
 
     def __call__(self, image_path: str, contrast: str, out_path: str) -> str:
+        # external process reads from disk — pending write-behind saves of the
+        # input must land first
+        nifti.flush_writes()
         c = _SCT_CONTRAST.get(contrast, contrast.lower())
         subprocess.run(
             ["sct_deepseg_sc", "-i", image_path, "-c", c, "-o", out_path],
@@ -111,6 +114,63 @@ def centermass_affine_field(fx_seg: np.ndarray, mov_seg: np.ndarray) -> np.ndarr
     field[..., 0] = tx[None, None, :]
     field[..., 1] = ty[None, None, :]
     return field
+
+
+def rigid_affine_field(fx_seg: np.ndarray, mov_seg: np.ndarray) -> np.ndarray:
+    """Opt-in rigid (rotation + translation) fallback field from segmentation
+    moments — NOT part of the reference, whose affine fallback is slice-wise
+    center-of-mass only (`pipeline_bids_register_evaluate_opt_affine.sh:174`)
+    and therefore cannot correct rotation-dominant misalignment
+    (benchmarks/opt_affine_rotation_study.py). Enable with
+    ``PipelineConfig.affine_fallback_mode='rigid'``.
+
+    Estimates R, t by principal-axes (inertia-tensor) alignment of the two
+    binary segmentations: eigenvector signs are chosen to minimize the
+    rotation angle (valid for the small-angle regime the gate fires in), and
+    the returned dense field maps fixed-grid coordinates into moving space:
+    ``phi(x) = c_m + R (x - c_f) - x`` under ``moved(x) = mov(x + phi(x))``.
+    """
+
+    def moments(seg):
+        m = seg.astype(np.float64)
+        tot = m.sum()
+        if tot == 0:
+            return None, None
+        idx = [np.arange(s, dtype=np.float64) for s in seg.shape]
+        com = np.array([
+            (m.sum(axis=(1, 2)) * idx[0]).sum(),
+            (m.sum(axis=(0, 2)) * idx[1]).sum(),
+            (m.sum(axis=(0, 1)) * idx[2]).sum(),
+        ]) / tot
+        # second moments about the COM
+        g = np.stack(np.meshgrid(*idx, indexing="ij"), -1) - com
+        w = m[..., None]
+        cov = np.einsum("xyzi,xyzj->ij", g * w, g) / tot
+        return com, cov
+
+    c_f, S_f = moments(fx_seg)
+    c_m, S_m = moments(mov_seg)
+    X, Y, Z = fx_seg.shape
+    field = np.zeros((X, Y, Z, 3), np.float32)
+    if c_f is None or c_m is None:
+        return field
+    wf, Uf = np.linalg.eigh(S_f)
+    wm, Um = np.linalg.eigh(S_m)
+    # sign-fix each moving eigenvector toward its fixed counterpart so the
+    # rotation is the small one (eigenvectors have arbitrary sign)
+    for k in range(3):
+        if np.dot(Um[:, k], Uf[:, k]) < 0:
+            Um[:, k] = -Um[:, k]
+    R = Um @ Uf.T
+    if np.linalg.det(R) < 0:  # guard against a reflection from degenerate axes
+        k = int(np.argmin(np.abs(wm)))
+        Um[:, k] = -Um[:, k]
+        R = Um @ Uf.T
+    grid = np.stack(np.meshgrid(
+        np.arange(X, dtype=np.float64), np.arange(Y, dtype=np.float64),
+        np.arange(Z, dtype=np.float64), indexing="ij"), -1)
+    target = c_m + (grid - c_f) @ R.T
+    return (target - grid).astype(np.float32)
 
 
 def apply_affine_field(image_path: str, field: np.ndarray, out_path: str, interp="linear"):

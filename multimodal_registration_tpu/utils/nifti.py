@@ -295,6 +295,9 @@ def load(path: str, cached: bool = False) -> NiftiImage:
     ``cached=True`` consults/fills the process-wide decoded-file LRU (used by
     the pipeline layer, where the same volumes are read by several stages).
     """
+    pending = _pending_img(path)  # async write in flight → serve its content
+    if pending is not None:
+        return pending
     key = None
     if cached:
         enable_save_prime()
@@ -337,6 +340,49 @@ def _cache_insert(key: tuple, img: NiftiImage) -> None:
         _LOAD_CACHE[key] = img
         while len(_LOAD_CACHE) > _LOAD_CACHE_MAX:
             _LOAD_CACHE.pop(next(iter(_LOAD_CACHE)))
+
+
+# ---- async write-behind --------------------------------------------------------
+#
+# Compression + disk write of a subject's large outputs (~2-4 s on this
+# 1-core host even with the adaptive writer) can overlap the NEXT subject's
+# device work: the host sits idle in GIL-released device waits. Opt-in
+# (``enable_async_writes()``, called by the pipeline layer); writers go
+# through ONE background thread, readers are safe because (a) ``load``
+# consults the pending-content map first and (b) ``flush_writes()`` is called
+# before any direct filesystem consumer (reorganize, output checks, exit).
+_ASYNC_POOL = None
+_ASYNC_ENABLED = False
+_PENDING_LOCK = threading.Lock()
+_PENDING_FUTURES: "dict[str, object]" = {}
+_PENDING_IMGS: "dict[str, NiftiImage]" = {}
+
+
+def enable_async_writes() -> None:
+    global _ASYNC_POOL, _ASYNC_ENABLED
+    if _ASYNC_POOL is None:
+        import atexit
+        from concurrent.futures import ThreadPoolExecutor
+
+        _ASYNC_POOL = ThreadPoolExecutor(1, thread_name_prefix="mmreg-nifti-write")
+        atexit.register(flush_writes)
+    _ASYNC_ENABLED = True
+
+
+def flush_writes(prefix: str | None = None) -> None:
+    """Block until pending async writes land (all, or those under ``prefix``);
+    re-raises the first writer exception."""
+    with _PENDING_LOCK:
+        items = [(p, f) for p, f in _PENDING_FUTURES.items()
+                 if prefix is None or p.startswith(prefix)]
+    for _, fut in items:
+        fut.result()
+
+
+def _pending_img(path: str) -> "NiftiImage | None":
+    with _PENDING_LOCK:
+        img = _PENDING_IMGS.get(os.path.abspath(path))
+    return _cache_view(img) if img is not None else None
 
 
 # ---- adaptive .gz writer -----------------------------------------------------
@@ -417,7 +463,34 @@ def save(img: NiftiImage, path: str) -> None:
     buf[344:348] = b"n+1\x00"
 
     payload = bytes(buf) + np.asfortranarray(data).tobytes(order="F")
-    tmp = f"{path}.tmp.{os.getpid()}"
+
+    if _ASYNC_ENABLED and _ASYNC_POOL is not None and str(path).endswith(".gz"):
+        # write-behind: compression + disk write run on the background thread
+        # while the caller proceeds; readers see the pending content via
+        # ``load`` until the file lands (callers must not mutate `data`
+        # after save — standard save contract)
+        key = os.path.abspath(path)
+        pending = NiftiImage(data, img.affine.copy(), h.copy())
+        with _PENDING_LOCK:
+            _PENDING_IMGS[key] = pending
+
+        def _job():
+            try:
+                _write_payload(path, payload)
+            finally:
+                with _PENDING_LOCK:
+                    if _PENDING_IMGS.get(key) is pending:
+                        del _PENDING_IMGS[key]
+
+        fut = _ASYNC_POOL.submit(_job)
+        with _PENDING_LOCK:
+            _PENDING_FUTURES[key] = fut
+        return
+    _write_payload(path, payload)
+
+
+def _write_payload(path: str, payload: bytes) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
     if str(path).endswith(".gz"):
         mode = os.environ.get("MMREG_GZ_MODE", "adaptive")
         wrote = False

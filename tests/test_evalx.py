@@ -180,3 +180,25 @@ class TestEvalCLIs:
         assert det.shape == (8, 8, 8, 1)
         rows = list(csv.reader(open(out)))
         assert float(rows[1][2]) == 0.0  # no folding
+
+
+def test_nmi_host_matches_device(monkeypatch):
+    """Host (default) and device (MMREG_EVAL_DEVICE) NMI paths agree."""
+    rng = np.random.default_rng(7)
+    a = rng.random((24, 20, 16))
+    b = 0.5 * a + 0.5 * rng.random((24, 20, 16))
+    host = evalx.normalized_mutual_information(a, b)
+    monkeypatch.setenv("MMREG_EVAL_DEVICE", "1")
+    dev = evalx.normalized_mutual_information(a, b)
+    assert abs(host - dev) < 1e-5
+
+
+def test_jacobian_host_matches_device(monkeypatch):
+    from multimodal_registration_tpu.evalx.jacobian import jacobian_determinant
+
+    rng = np.random.default_rng(8)
+    field = rng.standard_normal((16, 14, 12, 3)).astype(np.float32)
+    host = jacobian_determinant(field)
+    monkeypatch.setenv("MMREG_EVAL_DEVICE", "1")
+    dev = jacobian_determinant(field)
+    np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-5)

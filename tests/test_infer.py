@@ -234,3 +234,24 @@ class TestCascadeSubvol:
         stem = mov.split(".")[0]
         assert os.path.exists(stem + "_first_proc_field_to_T1w.nii.gz")
         assert os.path.exists(stem + "_proc_first_reg_to_T1w.nii.gz")
+
+
+def test_export_warp_host_matches_device():
+    """The host field export (upsample + RAI permute) must equal the jit."""
+    import jax.numpy as jnp
+
+    from multimodal_registration_tpu.infer.register import (
+        _export_warp_host,
+        _export_warp_jit,
+    )
+
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal((10, 8, 12, 3)).astype(np.float32)
+    perm, inv = [1, 0, 2], [-1, 1, -1]
+    for scale in (1, 2):
+        out_shape = tuple(s * scale for s in w.shape[:3])
+        host = _export_warp_host(w, scale, perm, inv)
+        dev = np.asarray(_export_warp_jit(
+            jnp.asarray(w), scale, tuple(perm),
+            tuple(float(v) for v in inv), out_shape))
+        np.testing.assert_allclose(host, dev, rtol=1e-6, atol=1e-6)

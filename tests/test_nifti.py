@@ -253,3 +253,33 @@ class TestAdaptiveGzWriter:
         monkeypatch.setenv("MMREG_GZ_MODE", "classic")
         data = np.random.default_rng(5).standard_normal((32, 32, 32)).astype(np.float32)
         self._roundtrip(tmp_path, data)
+
+
+def test_async_writes_roundtrip(tmp_path):
+    """Write-behind saves: pending loads see the new content; flush lands the
+    file; disk bytes decode to the same volume."""
+    import os
+
+    nifti.enable_async_writes()
+    try:
+        rng = np.random.default_rng(11)
+        data = rng.standard_normal((24, 20, 16)).astype(np.float32)
+        p = str(tmp_path / "async.nii.gz")
+        nifti.save(nifti.NiftiImage(data, np.diag([1.0, 1.0, 2.0, 1.0])), p)
+        # read-after-write before flush must serve the pending content
+        img = nifti.load(p)
+        np.testing.assert_array_equal(np.asarray(img.dataobj), data)
+        nifti.flush_writes()
+        assert os.path.exists(p)
+        img2 = nifti.load(p)
+        np.testing.assert_array_equal(np.asarray(img2.dataobj), data)
+        assert img2.affine[2, 2] == 2.0
+        # second overwrite supersedes the first
+        data2 = data * 2.0
+        nifti.save(nifti.NiftiImage(data2, np.eye(4)), p)
+        np.testing.assert_array_equal(np.asarray(nifti.load(p).dataobj), data2)
+        nifti.flush_writes()
+        np.testing.assert_array_equal(np.asarray(nifti.load(p).dataobj), data2)
+    finally:
+        nifti.flush_writes()
+        nifti._ASYNC_ENABLED = False

@@ -230,3 +230,31 @@ def test_run_batch_jobs4_threadsafe(tmp_path):
     assert html_text.count("moved + deformation grid") == 8
     # 4 panels per subject (fixed, moving, moved, grid)
     assert html_text.count("data:image/png;base64") == 32
+
+
+def test_warped_grid_mosaic_matches_device_warp():
+    """The analytic QC grid mosaic equals mosaicking the device-warped
+    gridline volume (closed form A+B-A*B of the separable lattice)."""
+    import jax.numpy as jnp
+
+    from multimodal_registration_tpu.ops.warp import warp as device_warp
+    from multimodal_registration_tpu.pipeline.qc import (
+        _mosaic,
+        make_grid_volume,
+        warped_grid_mosaic,
+    )
+
+    rng = np.random.default_rng(3)
+    shape = (32, 24, 16)
+    # smooth small field at full res (scale=1 path)
+    field = rng.standard_normal((*shape, 3)).astype(np.float32)
+    from scipy.ndimage import gaussian_filter
+
+    for c in range(3):
+        field[..., c] = gaussian_filter(field[..., c], 3.0) * 8.0
+
+    grid = make_grid_volume(shape)
+    warped = np.asarray(device_warp(jnp.asarray(grid), jnp.asarray(field), "linear"))
+    legacy = _mosaic(warped)
+    analytic = warped_grid_mosaic(field, 1, shape)
+    np.testing.assert_allclose(analytic, legacy, atol=1e-4)
