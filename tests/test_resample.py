@@ -104,26 +104,95 @@ class TestDeviceSpline:
         for mode in ("nearest", "constant"):
             self._check(vol, np.eye(4), out_aff, (8, 9, 10), mode)
 
-    def test_oblique_falls_back_to_scipy(self):
-        from multimodal_registration_tpu.ops import resample as R
-
-        rng = np.random.default_rng(13)
-        vol = rng.normal(size=(8, 8, 8))
-        th = 0.3
-        rot = np.eye(4)
-        rot[:2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
-        M = np.linalg.inv(np.eye(4)) @ rot
-        assert R._device_spline_resample(vol, M, (8, 8, 8), "nearest", 0.0) is None
-        ours = affine_resample(vol, np.eye(4), rot, (8, 8, 8), "spline", mode="nearest")
-        ref = self._scipy_ref(vol, np.eye(4), rot, (8, 8, 8), "nearest")
-        np.testing.assert_allclose(ours, ref, atol=1e-12)
-
     def test_env_disable(self, monkeypatch):
         from multimodal_registration_tpu.ops import resample as R
 
         monkeypatch.setenv("MMREG_SPLINE_DEVICE", "0")
         vol = np.zeros((4, 4, 4))
         assert R._device_spline_resample(vol, np.eye(4), (4, 4, 4), "nearest", 0.0) is None
+
+
+class TestObliqueDeviceSpline:
+    """Device 64-tap path for non-separable (oblique) maps must match host
+    scipy <= 1e-4 (VERDICT r3 item 7). The prefilter operators and boundary
+    semantics were probed to float64-exactness; the tolerance here covers the
+    float32 device evaluation."""
+
+    def _rot(self, th, ph=0.0):
+        rot = np.eye(4)
+        c, s = np.cos(th), np.sin(th)
+        rot[:2, :2] = [[c, -s], [s, c]]
+        if ph:
+            r2 = np.eye(4)
+            c2, s2 = np.cos(ph), np.sin(ph)
+            r2[1:3, 1:3] = [[c2, -s2], [s2, c2]]
+            rot = rot @ r2
+        return rot
+
+    def _check(self, vol, in_aff, out_aff, out_shape, mode, order=3):
+        from scipy.ndimage import affine_transform
+
+        from multimodal_registration_tpu.ops import resample as R
+
+        M = np.linalg.inv(in_aff) @ out_aff
+        dev = R._device_spline_resample(vol, M, out_shape, mode, 0.0, order)
+        assert dev is not None, "expected the oblique device path to engage"
+
+        def _one(v3):
+            return affine_transform(
+                np.asarray(v3, np.float64), M[:3, :3], offset=M[:3, 3],
+                output_shape=out_shape, order=order, mode=mode, cval=0.0)
+
+        ref = (np.stack([_one(vol[..., c]) for c in range(vol.shape[3])], -1)
+               if vol.ndim == 4 else _one(vol))
+        np.testing.assert_allclose(dev, ref, atol=1e-4)
+
+    def test_rotation_golden(self):
+        rng = np.random.default_rng(13)
+        vol = rng.normal(size=(12, 11, 13))
+        rot = self._rot(0.3, 0.15)
+        rot[:3, 3] = [1.0, -0.5, 0.3]
+        for mode in ("nearest", "constant"):
+            for order in (2, 3):
+                self._check(vol, np.eye(4), rot, (12, 11, 13), mode, order)
+
+    def test_rotation_with_scale_and_field_channels(self):
+        # a (X,Y,Z,3) displacement field resamples in ONE device call
+        rng = np.random.default_rng(14)
+        field = rng.normal(size=(10, 12, 9, 3))
+        out_aff = self._rot(-0.2) @ np.diag([1.4, 0.8, 1.1, 1.0])
+        out_aff[:3, 3] = [0.7, 2.0, -1.0]
+        for mode in ("nearest", "constant"):
+            self._check(field, np.eye(4), out_aff, (9, 10, 11), mode)
+
+    def test_far_outside_coordinates(self):
+        # output grid mostly outside the input extent exercises the
+        # boundary folding on both modes
+        rng = np.random.default_rng(15)
+        vol = rng.normal(size=(8, 8, 8))
+        out_aff = self._rot(0.4)
+        out_aff[:3, 3] = [-9.0, 6.0, -4.0]
+        for mode in ("nearest", "constant"):
+            self._check(vol, np.eye(4), out_aff, (14, 14, 14), mode)
+
+    def test_oblique_env_pin_to_host(self, monkeypatch):
+        from multimodal_registration_tpu.ops import resample as R
+
+        monkeypatch.setenv("MMREG_SPLINE_OBLIQUE", "0")
+        rot = self._rot(0.3)
+        vol = np.zeros((6, 6, 6))
+        assert R._device_spline_resample(vol, rot, (6, 6, 6), "nearest", 0.0) is None
+        # the public API still answers via host scipy
+        out = affine_resample(vol + 1.0, np.eye(4), rot, (6, 6, 6), "spline",
+                              mode="nearest")
+        assert out.shape == (6, 6, 6)
+
+    def test_unsupported_mode_falls_back(self):
+        from multimodal_registration_tpu.ops import resample as R
+
+        rot = self._rot(0.2)
+        vol = np.zeros((6, 6, 6))
+        assert R._device_spline_resample(vol, rot, (6, 6, 6), "mirror", 0.0) is None
 
 
 def test_resample_nib_mm():
