@@ -137,7 +137,8 @@ def bids_two_steps(argv=None):
 
     cfg = InferenceConfig.from_json(args.config_path)
     _apply_sharding_flags(cfg, args)
-    reg1 = make_registrar(cfg, load_params_any(args.model1_path, cfg))
+    reg1 = make_registrar(cfg, load_params_any(args.model1_path, cfg),
+                          svf_smooth_sigma=cfg.model1_svf_smooth_sigma)
     reg2 = make_registrar(cfg, load_params_any(args.model2_path, cfg))
     return register_two_steps(
         cfg, reg1, reg2, args.fx_img_path, args.mov_img_path,

@@ -40,6 +40,13 @@ class InferenceConfig:
     # int-res grid, upsample the composed field
     # (`bids_two_steps_registration.py:324` + `:515`).
     cascade_compose_res: str = "full"
+    # Inference-time SVF smoothing (voxels at the SVF grid, 0 = off, applied
+    # to every model this config builds) and a cascade-specific override for
+    # the step-1 model only (None = inherit svf_smooth_sigma). The cascade's
+    # smooth model is where exported-field folding originates on
+    # large-displacement subjects (benchmarks/cascade_smoothing_sweep.py).
+    svf_smooth_sigma: float = 0.0
+    model1_svf_smooth_sigma: float | None = None
 
     @classmethod
     def from_json(cls, path: str) -> "InferenceConfig":

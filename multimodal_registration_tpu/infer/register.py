@@ -42,7 +42,8 @@ class Registrar:
     compiled executable regardless of tile count, bounded activation memory.
     """
 
-    def __init__(self, cfg: InferenceConfig, params, max_batch: int = 4):
+    def __init__(self, cfg: InferenceConfig, params, max_batch: int = 4,
+                 svf_smooth_sigma: float | None = None):
         self.cfg = cfg
         self.vxm_cfg = VxmConfig(
             enc=tuple(cfg.enc),
@@ -51,6 +52,9 @@ class Registrar:
             int_res=cfg.int_res,
             svf_res=cfg.svf_res,
             compute_dtype=cfg.compute_dtype,
+            svf_smooth_sigma=float(
+                cfg.svf_smooth_sigma if svf_smooth_sigma is None else svf_smooth_sigma
+            ),
         )
         self.model = VxmDense(cfg=self.vxm_cfg)
         self.params = params

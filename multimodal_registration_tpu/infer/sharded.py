@@ -33,11 +33,12 @@ class ShardedRegistrar:
     """
 
     def __init__(self, cfg: InferenceConfig, params, mesh: Mesh,
-                 max_batch: int = 4):
+                 max_batch: int = 4, svf_smooth_sigma: float | None = None):
         self.cfg = cfg
         self.mesh = mesh
         self.max_batch = max_batch
         self._fallback = None
+        self._svf_smooth_sigma = svf_smooth_sigma
         vxm_cfg = VxmConfig(
             enc=tuple(cfg.enc),
             dec=tuple(cfg.dec),
@@ -45,6 +46,9 @@ class ShardedRegistrar:
             int_res=cfg.int_res,
             svf_res=cfg.svf_res,
             compute_dtype=cfg.compute_dtype,
+            svf_smooth_sigma=float(
+                cfg.svf_smooth_sigma if svf_smooth_sigma is None else svf_smooth_sigma
+            ),
         )
         self.model = VxmDense(cfg=vxm_cfg)
         self._vol_sharding = NamedSharding(mesh, P("data", "space"))
@@ -81,8 +85,10 @@ class ShardedRegistrar:
             if self._fallback is None:
                 from multimodal_registration_tpu.infer.register import Registrar
 
-                self._fallback = Registrar(self.cfg, self.params,
-                                           max_batch=self.max_batch)
+                self._fallback = Registrar(
+                    self.cfg, self.params, max_batch=self.max_batch,
+                    svf_smooth_sigma=self._svf_smooth_sigma,
+                )
             return self._fallback.predict(mov, fx)
 
         B = mov.shape[0]
@@ -113,7 +119,8 @@ class ShardedRegistrar:
         return (np.concatenate(moved_parts), np.concatenate(warp_parts))
 
 
-def make_registrar(cfg: InferenceConfig, params, max_batch: int = 4):
+def make_registrar(cfg: InferenceConfig, params, max_batch: int = 4,
+                   svf_smooth_sigma: float | None = None):
     """Build the registrar the inference config asks for.
 
     ``cfg.sharding`` = {} (or {"data": 1, "space": 1}) → the single-device
@@ -127,7 +134,8 @@ def make_registrar(cfg: InferenceConfig, params, max_batch: int = 4):
     data = int(cfg.sharding.get("data", 1) or 1)
     space = int(cfg.sharding.get("space", 1) or 1)
     if data * space <= 1:
-        return Registrar(cfg, params, max_batch=max_batch)
+        return Registrar(cfg, params, max_batch=max_batch,
+                         svf_smooth_sigma=svf_smooth_sigma)
     n_avail = len(jax.devices())
     if data * space > n_avail:
         raise ValueError(
@@ -137,4 +145,5 @@ def make_registrar(cfg: InferenceConfig, params, max_batch: int = 4):
     from multimodal_registration_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh(data * space, space=space)
-    return ShardedRegistrar(cfg, params, mesh, max_batch=max_batch)
+    return ShardedRegistrar(cfg, params, mesh, max_batch=max_batch,
+                            svf_smooth_sigma=svf_smooth_sigma)

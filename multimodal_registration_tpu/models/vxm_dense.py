@@ -54,6 +54,11 @@ class VxmConfig:
     # reduced precision for gathered values inside the scaling-and-squaring
     # loop ("" disables); detJ-neutral, ~27% faster warps (PERF.md)
     integrate_payload_dtype: str = "bfloat16"
+    # inference-time SVF smoothing (voxels at the SVF grid, 0 = off): a
+    # border-renormalized Gaussian applied before integration. TPU-native
+    # extension for the cascade's step-1 model, whose raw SVF folds on
+    # large-displacement subjects (benchmarks/cascade_smoothing_sweep.py).
+    svf_smooth_sigma: float = 0.0
 
     @classmethod
     def from_json_dict(cls, d: dict) -> "VxmConfig":
@@ -67,6 +72,7 @@ class VxmConfig:
             integrate_payload_dtype=str(
                 d.get("integrate_payload_dtype", cls.integrate_payload_dtype)
             ),
+            svf_smooth_sigma=float(d.get("svf_smooth_sigma", cls.svf_smooth_sigma)),
         )
 
 
@@ -113,6 +119,13 @@ class VxmDense(nn.Module):
         if tuple(svf.shape[1:4]) != svf_shape:
             f = svf_shape[0] / svf.shape[1]
             svf = jax.vmap(lambda v: rescale_field(v, f, out_shape=svf_shape))(svf)
+
+        # optional inference-time SVF smoothing (at the SVF grid, before
+        # integration — see VxmConfig.svf_smooth_sigma)
+        if cfg.svf_smooth_sigma > 0:
+            from multimodal_registration_tpu.ops.field import smooth_field_batch
+
+            svf = smooth_field_batch(svf, cfg.svf_smooth_sigma)
 
         # rescale to integration resolution
         int_shape = tuple(int(round(d / cfg.int_res)) for d in inshape)

@@ -92,7 +92,12 @@ def run_batch(
 
     # honors cfg.sharding ({data, space}) — multi-chip registration in the
     # batch pipeline rides the same factory as the CLIs
-    registrar = make_registrar(cfg, load_params_any(model_path, cfg))
+    # in two-step mode `model_path` is the cascade's step-1 (smooth) model —
+    # it takes the model1-specific SVF-smoothing override
+    registrar = make_registrar(
+        cfg, load_params_any(model_path, cfg),
+        svf_smooth_sigma=cfg.model1_svf_smooth_sigma if model2_path else None,
+    )
     registrar2 = make_registrar(cfg, load_params_any(model2_path, cfg)) if model2_path else None
     segmenter = segmenter or default_segmenter()
     qc = QCReport(path_qc)
