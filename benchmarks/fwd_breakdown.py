@@ -1,13 +1,18 @@
-"""Exact flagship-forward decomposition at 192^3 (output-DCE ablation).
+"""Exact forward decomposition at 192^3 (output-DCE ablation).
 
 Times nested prefixes of the REAL VxmDense graph (not proxies): U-Net convs →
 +flow head → +integration → +full-res rescale → +moved warp → full model.
 Differences between consecutive rows attribute the wall time. Chained async
 dispatch with scalar-readback drain.
+
+``--arch train`` (default) is the flagship training net (enc 64); ``--arch
+infer256`` is the published inference architecture (enc [256]x4 / dec
+[256]x6, `/root/reference/config/config_inference.json:8-9`).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -24,7 +29,7 @@ import jax.numpy as jnp
 from multimodal_registration_tpu.models.vxm_dense import VxmConfig, VxmDense, init_params
 
 
-def timed_chain(fn, x, iters=8):
+def timed_chain(fn, x, iters):
     y = fn(x)
     float(jnp.sum(y))
     t0 = time.time()
@@ -36,8 +41,8 @@ def timed_chain(fn, x, iters=8):
     return (time.time() - t0) / iters
 
 
-def main(shape=(192, 192, 192)):
-    cfg = VxmConfig(enc=(64,) * 4, dec=(64,) * 6, int_steps=5, int_res=2,
+def main(shape=(192, 192, 192), width=64, iters=8):
+    cfg = VxmConfig(enc=(width,) * 4, dec=(width,) * 6, int_steps=5, int_res=2,
                     svf_res=2, compute_dtype="bfloat16")
     model = VxmDense(cfg=cfg)
     params = init_params(cfg, inshape=(32, 32, 32))
@@ -53,7 +58,7 @@ def main(shape=(192, 192, 192)):
             # reduce to the input shape so the chain can feed back
             return mov + jnp.sum(r).astype(mov.dtype) * 0.0
 
-        results[f"upto_{out_key}_ms"] = round(timed_chain(fwd, fx) * 1000, 1)
+        results[f"upto_{out_key}_ms"] = round(timed_chain(fwd, fx, iters) * 1000, 1)
         print(json.dumps({f"upto_{out_key}_ms": results[f"upto_{out_key}_ms"]}), flush=True)
 
     @jax.jit
@@ -61,9 +66,15 @@ def main(shape=(192, 192, 192)):
         out = model.apply(params, mov, fx)
         return mov + (jnp.sum(out["moved"]) + jnp.sum(out["warp"])).astype(mov.dtype) * 0.0
 
-    results["full_predict_ms"] = round(timed_chain(full, fx) * 1000, 1)
+    results["full_predict_ms"] = round(timed_chain(full, fx, iters) * 1000, 1)
     print(json.dumps(results), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", choices=("train", "infer256"), default="train")
+    ap.add_argument("--iters", type=int, default=0, help="0 = per-arch default")
+    a = ap.parse_args()
+    width = 64 if a.arch == "train" else 256
+    iters = a.iters or (8 if a.arch == "train" else 3)
+    main(width=width, iters=iters)

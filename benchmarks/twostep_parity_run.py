@@ -110,6 +110,10 @@ def main():
     ap.add_argument("--quick", action="store_true", help="tiny CPU smoke run")
     ap.add_argument("--subjects", type=int, default=3)
     ap.add_argument("--keep", default="", help="keep outputs under this dir")
+    ap.add_argument("--model1-sigma", type=float, default=3.0,
+                    help="step-1 SVF smoothing sigma for the two_step_smooth "
+                         "arm (voxels at the SVF grid; "
+                         "benchmarks/cascade_smoothing_sweep.py)")
     args = ap.parse_args()
 
     if args.quick:
@@ -169,16 +173,22 @@ def main():
     cfg_path = os.path.join(root, "cfg_inference.json")
     with open(cfg_path, "w") as f:
         json.dump(infer_cfg, f)
+    cfg_smooth_path = os.path.join(root, "cfg_inference_smooth.json")
+    with open(cfg_smooth_path, "w") as f:
+        json.dump({**infer_cfg,
+                   "model1_svf_smooth_sigma": args.model1_sigma}, f)
 
-    # three arms: the fine model alone, the fine model behind the reference's
+    # four arms: the fine model alone, the fine model behind the reference's
     # opt-affine gate (its OTHER large-displacement answer,
-    # `pipeline_bids_register_evaluate_opt_affine.sh:145-182`), and the
-    # trained two-step cascade.
+    # `pipeline_bids_register_evaluate_opt_affine.sh:145-182`), the trained
+    # two-step cascade with raw reference semantics, and the cascade with
+    # step-1 SVF smoothing (the anti-folding lever, cascade_smoothing_sweep).
     arms = {}
-    for arm, mpath, m2path, gate in (
-        ("single", m2, None, False),
-        ("opt_affine", m2, None, True),
-        ("two_step", m1, m2, False),
+    for arm, mpath, m2path, gate, cpath in (
+        ("single", m2, None, False, cfg_path),
+        ("opt_affine", m2, None, True, cfg_path),
+        ("two_step", m1, m2, False, cfg_path),
+        ("two_step_smooth", m1, m2, False, cfg_smooth_path),
     ):
         out = os.path.join(root, f"out_{arm}")
         kw = dict(opt_affine=gate)
@@ -186,7 +196,7 @@ def main():
             kw["min_sc_dice"] = 80
         results, _ = run_batch(
             path_data=data, path_output=out, model_path=mpath,
-            config_path=cfg_path, model2_path=m2path, jobs=1,
+            config_path=cpath, model2_path=m2path, jobs=1,
             segmenter=ThresholdSegmenter(percentile=98.4),
             **kw,
         )
@@ -205,14 +215,22 @@ def main():
         "workload": f"{shape} / {num_labels} labels, rigid-displaced moving",
         "subjects": subjects,
         "arms": arms,
+        "model1_svf_smooth_sigma": args.model1_sigma,
         "summary": {
             "sc_dice_after_single": mean_after("single"),
             "sc_dice_after_opt_affine": mean_after("opt_affine"),
             "sc_dice_after_two_step": mean_after("two_step"),
+            "sc_dice_after_two_step_smooth": mean_after("two_step_smooth"),
             "two_step_minus_single": (
                 round(mean_after("two_step") - mean_after("single"), 4)
                 if mean_after("single") is not None
                 and mean_after("two_step") is not None else None),
+            "worst_folding_two_step": (
+                max(arms["two_step"]["folding_percent"])
+                if arms["two_step"]["folding_percent"] else None),
+            "worst_folding_two_step_smooth": (
+                max(arms["two_step_smooth"]["folding_percent"])
+                if arms["two_step_smooth"]["folding_percent"] else None),
         },
     }
     with open(ARTIFACT if not args.quick else ARTIFACT + ".quick", "w") as f:
