@@ -45,8 +45,14 @@ class InferenceConfig:
     # the step-1 model only (None = inherit svf_smooth_sigma). The cascade's
     # smooth model is where exported-field folding originates on
     # large-displacement subjects (benchmarks/cascade_smoothing_sweep.py).
+    # Step-1 default 3.0: on the 3-subject displaced artifact it cuts
+    # worst-subject composed-field folding 2.99% -> 0.21% AND raises mean
+    # SC-Dice 0.9029 -> 0.9083 (benchmarks/twostep_parity_artifact.json,
+    # 4-arm run) — closer to the reference's diffeomorphic target
+    # (eval_reg_with_jacobian.py:76-78) than its own raw compose semantics.
+    # Set 0.0 (or null in JSON) for raw reference behavior.
     svf_smooth_sigma: float = 0.0
-    model1_svf_smooth_sigma: float | None = None
+    model1_svf_smooth_sigma: float | None = 3.0
 
     @classmethod
     def from_json(cls, path: str) -> "InferenceConfig":

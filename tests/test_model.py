@@ -157,3 +157,16 @@ class TestSvfSmoothing:
         assert Registrar(
             cfg, params, svf_smooth_sigma=cfg.model1_svf_smooth_sigma
         ).vxm_cfg.svf_smooth_sigma == 2.0
+
+    def test_default_sigma_cascade_only(self):
+        """Defaults: single-model registration stays unsmoothed (reference
+        semantics) while the cascade's step-1 gets sigma 3.0 — the adopted
+        anti-folding lever (PERF.md round 4c, twostep_parity_artifact)."""
+        from multimodal_registration_tpu.infer.config import InferenceConfig
+
+        cfg = InferenceConfig()
+        assert cfg.svf_smooth_sigma == 0.0
+        assert cfg.model1_svf_smooth_sigma == 3.0
+        # JSON null restores inherit-from-svf_smooth_sigma (raw cascade)
+        raw = InferenceConfig.from_dict(dict(model1_svf_smooth_sigma=None))
+        assert raw.model1_svf_smooth_sigma is None
