@@ -76,7 +76,23 @@ def run_batch(
 
     _nifti.enable_save_prime()
     _nifti.enable_async_writes()
+    try:
+        return _run_batch_inner(
+            path_data, path_output, model_path, config_path, model2_path,
+            jobs, include, exclude, include_list, exclude_list, segmenter,
+            sharding, pipeline_kwargs,
+        )
+    finally:
+        # write-behind is scoped to this run: later non-pipeline code (e.g.
+        # a training CLI's label-dir scan) must see synchronous saves
+        _nifti.disable_async_writes()
 
+
+def _run_batch_inner(
+    path_data, path_output, model_path, config_path, model2_path,
+    jobs, include, exclude, include_list, exclude_list, segmenter,
+    sharding, pipeline_kwargs,
+):
     cfg = InferenceConfig.from_json(config_path) if config_path else InferenceConfig()
     if sharding:
         cfg.sharding = {**cfg.sharding, **{k: v for k, v in sharding.items() if v}}

@@ -65,6 +65,11 @@ def save_volfile(vol: np.ndarray, path: str, affine=None):
 
 def load_labels(label_dir: str):
     """Load all label maps in a directory; returns (unique_labels, maps)."""
+    # drain any write-behind saves first: os.listdir cannot see files whose
+    # compression is still queued on the async writer thread (nifti.py)
+    from multimodal_registration_tpu.utils import nifti as _nifti
+
+    _nifti.flush_writes()
     paths = sorted(
         os.path.join(label_dir, f)
         for f in os.listdir(label_dir)

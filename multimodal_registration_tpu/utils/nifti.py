@@ -369,6 +369,19 @@ def enable_async_writes() -> None:
     _ASYNC_ENABLED = True
 
 
+def disable_async_writes() -> None:
+    """Flush pending writes and return ``save`` to synchronous mode.
+
+    The pipeline layer scopes write-behind to its own run (it flushes before
+    its internal filesystem consumers); leaving it enabled process-wide would
+    let LATER non-pipeline code race the writer thread — e.g. a directory
+    scan (``os.listdir``) sees no entry for a still-pending file even though
+    ``load`` on its path would succeed via the pending-content map."""
+    global _ASYNC_ENABLED
+    _ASYNC_ENABLED = False
+    flush_writes()
+
+
 def flush_writes(prefix: str | None = None) -> None:
     """Block until pending async writes land (all, or those under ``prefix``);
     re-raises the first writer exception."""

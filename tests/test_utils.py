@@ -46,3 +46,36 @@ def test_load_labels(tmp_path):
     labels, maps = vio.load_labels(str(tmp_path))
     assert len(maps) == 3
     np.testing.assert_array_equal(labels, [0, 1, 2])
+
+
+def test_load_labels_sees_pending_async_writes(tmp_path):
+    """Directory-scan consumers must drain write-behind saves: with async
+    writes enabled (as the batch pipeline leaves them mid-run) and the writer
+    thread artificially stalled, load_labels must still see every map — the
+    original race dropped still-queued files from os.listdir (full-suite
+    flake: test_loaded_noncontiguous_labels_are_remapped after test_pipeline)."""
+    import threading
+    import time as _time
+
+    stall = threading.Event()
+    orig = nifti._gz_compress_adaptive
+
+    def slow(payload):
+        stall.wait(5.0)  # hold the single writer thread until released
+        return orig(payload)
+
+    nifti.enable_async_writes()
+    nifti._gz_compress_adaptive = slow
+    try:
+        for i in range(3):
+            lab = np.full((4, 4, 4), i, np.uint8)
+            nifti.save(nifti.NiftiImage(lab, np.eye(4)), str(tmp_path / f"m{i}.nii.gz"))
+        # release the writer only once load_labels is (correctly) blocking in
+        # flush_writes; without the flush, listdir here would see 0-1 files
+        threading.Timer(0.2, stall.set).start()
+        labels, maps = vio.load_labels(str(tmp_path))
+        assert len(maps) == 3
+        np.testing.assert_array_equal(labels, [0, 1, 2])
+    finally:
+        nifti._gz_compress_adaptive = orig
+        nifti.disable_async_writes()
