@@ -40,6 +40,15 @@ RESULTS = os.path.join(HERE, "learn_ref_results.json")
 CKPT = os.path.join(HERE, "learned_ref_160x160x192_26lab.npz")
 
 
+def _set_width_paths(width: int) -> None:
+    """--width 256 trains the PUBLISHED inference architecture
+    (config_inference.json:8-9) with its own checkpoint/trajectory files."""
+    global RESULTS, CKPT
+    if width:
+        RESULTS = os.path.join(HERE, f"learn_w{width}_results.json")
+        CKPT = os.path.join(HERE, f"learned_w{width}_160x160x192_26lab.npz")
+
+
 def mean_label_dice(a_lab, b_lab, num_labels):
     ds = []
     for l in range(1, num_labels):
@@ -51,8 +60,9 @@ def mean_label_dice(a_lab, b_lab, num_labels):
     return float(np.mean(ds)) if ds else 1.0
 
 
-def main(steps: int = 6000, warm: str | None = None):
-    cfg = TrainConfig.from_dict(dict(
+def main(steps: int = 6000, warm: str | None = None, width: int = 0):
+    _set_width_paths(width)
+    d = dict(
         in_shape=list(SHAPE),
         num_labels=NUM_LABELS,
         num_maps=40,
@@ -61,7 +71,11 @@ def main(steps: int = 6000, warm: str | None = None):
         grad_clip_norm=1.0,
         epochs=1,
         same_subj=True,
-    ))
+    )
+    if width:
+        d["enc"] = [width] * 4
+        d["dec"] = [width] * 6
+    cfg = TrainConfig.from_dict(d)
     trainer = Trainer(cfg)
     params, opt_state = trainer.init_state()
     warm_loaded = bool(warm and os.path.exists(warm))
@@ -184,11 +198,19 @@ def main(steps: int = 6000, warm: str | None = None):
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
-    if len(sys.argv) > 2:
-        w = sys.argv[2]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    width = 0
+    for a in sys.argv[1:]:
+        if a.startswith("--width"):
+            width = int(a.split("=", 1)[1]) if "=" in a else 256
+    _set_width_paths(width)
+    n = int(args[0]) if args else 6000
+    if len(args) > 1:
+        w = args[1]
     elif os.path.exists(CKPT):
-        w = CKPT  # continue our own ref-workload run
+        w = CKPT  # continue our own run at these widths
+    elif width:
+        w = None  # widths differ from every existing checkpoint: from scratch
     else:
         w = os.path.join(HERE, "learned_96cube_16lab_24k.npz")
-    main(n, w)
+    main(n, w, width=width)
