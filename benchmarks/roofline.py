@@ -44,12 +44,19 @@ def warp_cost(spatial, c, payload=F32):
 
 
 def main():
-    shape = tuple(int(a) for a in sys.argv[1:4]) or (192, 192, 192)
+    width = 64
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--width"):
+            width = int(a.split("=", 1)[1]) if "=" in a else 256
+        else:
+            args.append(a)
+    shape = tuple(int(a) for a in args[:3]) or (192, 192, 192)
     if len(shape) != 3:
         shape = (192, 192, 192)
     half = tuple(s // 2 for s in shape)
-    enc = [64] * 4
-    dec = [64] * 6
+    enc = [width] * 4
+    dec = [width] * 6
 
     comps = {}
 

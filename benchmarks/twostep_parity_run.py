@@ -178,22 +178,28 @@ def main():
         json.dump({**infer_cfg,
                    "model1_svf_smooth_sigma": args.model1_sigma}, f)
 
-    # four arms: the fine model alone, the fine model behind the reference's
+    # five arms: the fine model alone, the fine model behind the reference's
     # opt-affine gate (its OTHER large-displacement answer,
-    # `pipeline_bids_register_evaluate_opt_affine.sh:145-182`), the trained
-    # two-step cascade with raw reference semantics, and the cascade with
-    # step-1 SVF smoothing (the anti-folding lever, cascade_smoothing_sweep).
+    # `pipeline_bids_register_evaluate_opt_affine.sh:145-182`), the same gate
+    # with the opt-in rigid (rotation+translation) fallback (beyond-reference:
+    # centermass cannot recover the ±6° component — opt_affine_rotation
+    # study), the trained two-step cascade with raw reference semantics, and
+    # the cascade with step-1 SVF smoothing (the anti-folding lever,
+    # cascade_smoothing_sweep).
     arms = {}
     for arm, mpath, m2path, gate, cpath in (
         ("single", m2, None, False, cfg_path),
         ("opt_affine", m2, None, True, cfg_path),
+        ("opt_affine_rigid", m2, None, "rigid", cfg_path),
         ("two_step", m1, m2, False, cfg_path),
         ("two_step_smooth", m1, m2, False, cfg_smooth_path),
     ):
         out = os.path.join(root, f"out_{arm}")
-        kw = dict(opt_affine=gate)
+        kw = dict(opt_affine=bool(gate))
         if gate:
             kw["min_sc_dice"] = 80
+        if gate == "rigid":
+            kw["affine_fallback_mode"] = "rigid"
         results, _ = run_batch(
             path_data=data, path_output=out, model_path=mpath,
             config_path=cpath, model2_path=m2path, jobs=1,
@@ -219,6 +225,7 @@ def main():
         "summary": {
             "sc_dice_after_single": mean_after("single"),
             "sc_dice_after_opt_affine": mean_after("opt_affine"),
+            "sc_dice_after_opt_affine_rigid": mean_after("opt_affine_rigid"),
             "sc_dice_after_two_step": mean_after("two_step"),
             "sc_dice_after_two_step_smooth": mean_after("two_step_smooth"),
             "two_step_minus_single": (
