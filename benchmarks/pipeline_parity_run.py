@@ -101,6 +101,11 @@ def main():
     ap.add_argument("--quick", action="store_true", help="tiny CPU smoke run")
     ap.add_argument("--subjects", type=int, default=3)
     ap.add_argument("--keep", default="", help="keep outputs under this dir")
+    ap.add_argument("--width", type=int, default=0,
+                    help="256 = the PUBLISHED inference architecture "
+                         "(config_inference.json:8-9) with the checkpoint "
+                         "trained by learn_ref_workload --width=256; writes "
+                         "a _w<width> artifact")
     args = ap.parse_args()
 
     if args.quick:
@@ -131,13 +136,20 @@ def main():
         infer_cfg = dict(enc=[4] * 4, dec=[4] * 6, compute_dtype="float32")
     else:
         shape, num_labels = (160, 160, 192), 26
-        tcfg = TrainConfig.from_dict(dict(
+        d = dict(
             in_shape=list(shape), num_labels=num_labels, num_maps=2,
             batch_size=1, epochs=1,
-        ))
-        model_path = CKPT
+        )
+        if args.width:
+            d["enc"] = [args.width] * 4
+            d["dec"] = [args.width] * 6
+        tcfg = TrainConfig.from_dict(d)
+        model_path = (os.path.join(
+            HERE, f"learned_w{args.width}_160x160x192_26lab.npz")
+            if args.width else CKPT)
         assert os.path.exists(model_path), f"missing checkpoint {model_path}"
-        # must match the training architecture (config/config.json:41-45)
+        # must match the checkpoint's architecture (config/config.json:41-45,
+        # or config_inference.json:8-9 for --width 256)
         infer_cfg = dict(enc=list(tcfg.enc), dec=list(tcfg.dec),
                          int_steps=tcfg.int_steps, int_res=tcfg.int_res,
                          svf_res=tcfg.svf_res)
@@ -223,7 +235,12 @@ def main():
         "nmi_percent_improvement": nmi_gains,
     }
 
-    with open(ARTIFACT if not args.quick else ARTIFACT + ".quick", "w") as f:
+    path = ARTIFACT
+    if args.width:
+        path = ARTIFACT.replace(".json", f"_w{args.width}.json")
+    if args.quick:
+        path += ".quick"
+    with open(path, "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps(artifact["summary"], indent=1))
     if not args.keep:
