@@ -80,6 +80,43 @@ def test_centermass_affine_field():
     np.testing.assert_allclose(field[..., 2], 0.0)
 
 
+def test_rigid_affine_field_recovers_rotation():
+    """The opt-in rigid fallback recovers a known in-plane rotation +
+    translation that slice-wise centermass cannot (its field carries no
+    rotation by construction) — benchmarks/opt_affine_rotation_study.py."""
+    from scipy import ndimage
+
+    from multimodal_registration_tpu.pipeline.segment import rigid_affine_field
+
+    rng = np.random.default_rng(0)
+    fx = np.zeros((48, 48, 24))
+    # an anisotropic blob (distinct principal axes) off-center
+    fx[14:34, 20:28, 4:20] = 1.0
+    ang = 8.0  # degrees about z
+    mv = ndimage.rotate(fx, ang, axes=(0, 1), reshape=False, order=1)
+    mv = ndimage.shift(mv, (3.0, -2.0, 1.0), order=1)
+    mv = (mv > 0.5).astype(np.float64)
+
+    field = rigid_affine_field(fx, mv)
+    # resample mv at x + phi(x): grid + field indexes into moving space
+    grid = np.stack(np.meshgrid(*[np.arange(s, dtype=np.float64)
+                                  for s in fx.shape], indexing="ij"), -1)
+    coords = (grid + field).transpose(3, 0, 1, 2)
+    moved = ndimage.map_coordinates(mv, coords, order=1)
+
+    def dice(a, b):
+        a, b = a > 0.5, b > 0.5
+        return 2.0 * np.logical_and(a, b).sum() / (a.sum() + b.sum())
+
+    d_before = dice(fx, mv)
+    d_rigid = dice(fx, moved)
+    cm = centermass_affine_field(fx, mv)
+    coords_cm = (grid + cm).transpose(3, 0, 1, 2)
+    d_cm = dice(fx, ndimage.map_coordinates(mv, coords_cm, order=1))
+    assert d_rigid > 0.97, (d_before, d_cm, d_rigid)
+    assert d_rigid > d_cm + 0.02  # rotation actually recovered
+
+
 def test_threshold_segmenter(tmp_path):
     vol = _cord_vol()
     p = str(tmp_path / "v.nii.gz")
