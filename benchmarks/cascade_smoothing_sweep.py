@@ -67,10 +67,7 @@ def main():
     from multimodal_registration_tpu.ops.integrate import integrate_svf
     from multimodal_registration_tpu.ops.resize import rescale_field
     from multimodal_registration_tpu.ops.warp import warp
-    from multimodal_registration_tpu.synth.image_engine import (
-        _gaussian_blur,
-        labels_to_image,
-    )
+    from multimodal_registration_tpu.synth.image_engine import labels_to_image
     from multimodal_registration_tpu.synth.labelmaps import generate_label_maps
     from multimodal_registration_tpu.train.config import TrainConfig
     from multimodal_registration_tpu.train.trainer import Trainer
@@ -114,16 +111,16 @@ def main():
 
     radius = 9  # static kernel width; covers sigma <= 3 (tail < 1e-4)
 
-    @jax.jit
+    from functools import partial
+
+    from multimodal_registration_tpu.ops.field import smooth_field
+
+    @partial(jax.jit, static_argnums=1)
     def smooth_integrate(svf, sigma):
-        """Border-renormalized Gaussian smooth per channel, then integrate."""
-        ones = jnp.ones(svf.shape[:3], jnp.float32)
-        norm = _gaussian_blur(ones, sigma, radius)
-        sm = jnp.stack(
-            [_gaussian_blur(svf[..., c], sigma, radius) / norm for c in range(3)],
-            axis=-1,
-        )
-        sm = jnp.where(sigma > 0.0, sm, svf)  # sigma=0 -> exact baseline
+        """The PRODUCTION smoothing (ops/field.smooth_field — the exact code
+        VxmConfig.svf_smooth_sigma runs), then integrate. One jit per swept
+        sigma (static), so the artifact can't drift from the shipped op."""
+        sm = smooth_field(svf, sigma, radius=radius)
         return integrate_svf(sm, cfg.int_steps,
                              payload_dtype=None if not args.tpu else jnp.bfloat16)
 
@@ -178,7 +175,7 @@ def main():
 
     rows = []
     for sigma in args.sigmas:
-        w1 = smooth_integrate(jnp.asarray(svf1), jnp.float32(sigma))
+        w1 = smooth_integrate(jnp.asarray(svf1), float(sigma))
         moved1 = moved_from(w1)
         moved2_b, w2_b = reg2.predict(np.asarray(moved1)[None], fx[None])
         w2 = jnp.asarray(w2_b[0])

@@ -198,19 +198,23 @@ def main(steps: int = 6000, warm: str | None = None, width: int = 0):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    width = 0
-    for a in sys.argv[1:]:
-        if a.startswith("--width"):
-            width = int(a.split("=", 1)[1]) if "=" in a else 256
-    _set_width_paths(width)
-    n = int(args[0]) if args else 6000
-    if len(args) > 1:
-        w = args[1]
-    elif os.path.exists(CKPT):
-        w = CKPT  # continue our own run at these widths
-    elif width:
-        w = None  # widths differ from every existing checkpoint: from scratch
-    else:
-        w = os.path.join(HERE, "learned_96cube_16lab_24k.npz")
-    main(n, w, width=width)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("steps", nargs="?", type=int, default=6000)
+    ap.add_argument("warm", nargs="?", default=None,
+                    help="warm-start checkpoint (default: resume our own run "
+                         "at these widths if present)")
+    ap.add_argument("--width", type=int, default=0,
+                    help="override enc/dec widths (256 = the published "
+                         "inference architecture)")
+    a = ap.parse_args()
+    _set_width_paths(a.width)
+    w = a.warm
+    if w is None:
+        if os.path.exists(CKPT):
+            w = CKPT  # continue our own run at these widths
+        elif not a.width:
+            w = os.path.join(HERE, "learned_96cube_16lab_24k.npz")
+        # else: widths differ from every existing checkpoint → from scratch
+    main(a.steps, w, width=a.width)

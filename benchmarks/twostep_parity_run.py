@@ -172,7 +172,10 @@ def main():
 
     cfg_path = os.path.join(root, "cfg_inference.json")
     with open(cfg_path, "w") as f:
-        json.dump(infer_cfg, f)
+        # pin raw reference compose semantics: the shipped default is now
+        # model1_svf_smooth_sigma=3.0, which would silently smooth the
+        # 'two_step' baseline arm too (review finding)
+        json.dump({**infer_cfg, "model1_svf_smooth_sigma": 0.0}, f)
     cfg_smooth_path = os.path.join(root, "cfg_inference_smooth.json")
     with open(cfg_smooth_path, "w") as f:
         json.dump({**infer_cfg,

@@ -66,6 +66,8 @@ class InferenceConfig:
         if unknown:
             raise ValueError(f"unknown inference config keys: {sorted(unknown)}")
         cfg = cls(**data)
+        if cfg.svf_smooth_sigma is None:  # JSON null = off (docs say so)
+            cfg.svf_smooth_sigma = 0.0
         bad = set(cfg.sharding) - {"data", "space"}
         if bad:
             raise ValueError(f"unknown sharding keys: {sorted(bad)} (want data/space)")

@@ -53,7 +53,8 @@ class Registrar:
             svf_res=cfg.svf_res,
             compute_dtype=cfg.compute_dtype,
             svf_smooth_sigma=float(
-                cfg.svf_smooth_sigma if svf_smooth_sigma is None else svf_smooth_sigma
+                (cfg.svf_smooth_sigma if svf_smooth_sigma is None
+                 else svf_smooth_sigma) or 0.0  # None (JSON null) = off
             ),
         )
         self.model = VxmDense(cfg=self.vxm_cfg)

@@ -235,6 +235,18 @@ def _device_spline_resample_oblique(vol, M, out_shape, mode, cval, order):
         return None
     if os.environ.get("MMREG_SPLINE_OBLIQUE", "1") == "0":
         return None
+    # TPU gather guard: the sampler's (N, C) source pads its minor dim to 128
+    # lanes (CLAUDE.md / PERF.md round 2b), so its PADDED footprint is
+    # N*128*4 B — 3.6 GB at 192³, far over the ~500 MB gather cliff (64 such
+    # gathers). Fall back to host scipy (reference parity,
+    # `bids_registration.py:25-123`) when it would not fit; the axis-aligned
+    # device path — every resample the shipped pipelines perform — is
+    # unaffected.
+    if jax.default_backend() != "cpu":
+        budget = float(os.environ.get("MMREG_GATHER_SRC_BUDGET", 480e6))
+        n = int(np.prod(vol.shape[:3]))
+        if n * 128 * 4 > budget:
+            return None
     out_shape = tuple(int(s) for s in out_shape)
     npad = _SCIPY_SPLINE_NPAD if mode == "nearest" else 0
     Ps = [
