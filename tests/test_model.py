@@ -170,3 +170,12 @@ class TestSvfSmoothing:
         # JSON null restores inherit-from-svf_smooth_sigma (raw cascade)
         raw = InferenceConfig.from_dict(dict(model1_svf_smooth_sigma=None))
         assert raw.model1_svf_smooth_sigma is None
+        # null for the base sigma means off, not a float(None) crash
+        cfg0 = InferenceConfig.from_dict(dict(svf_smooth_sigma=None))
+        assert cfg0.svf_smooth_sigma == 0.0
+        from multimodal_registration_tpu.infer.register import Registrar
+        from multimodal_registration_tpu.models.vxm_dense import params_template
+
+        r = Registrar(cfg0, params_template(CFG),
+                      svf_smooth_sigma=cfg0.model1_svf_smooth_sigma)
+        assert r.vxm_cfg.svf_smooth_sigma == 3.0
