@@ -53,7 +53,8 @@ ARCHS = {
 }
 
 
-def measure_tpu(shape=SHAPE, iters=10, batch=1, arch="train64", blocks=3):
+def measure_tpu(shape=SHAPE, iters=10, batch=1, arch="train64", blocks=3,
+                quantize=""):
     a = ARCHS[arch]
     cfg = VxmConfig(
         enc=a["enc"],
@@ -62,9 +63,20 @@ def measure_tpu(shape=SHAPE, iters=10, batch=1, arch="train64", blocks=3):
         int_res=2,
         svf_res=2,
         compute_dtype="bfloat16",
+        quantize=quantize,
     )
     model = VxmDense(cfg=cfg)
     params = init_params(cfg, inshape=(32, 32, 32))
+    if quantize:
+        # int8 activation scales: one full-precision calibration forward on
+        # representative inputs (models/quantize.py); the scale VALUES don't
+        # affect the timed graph's speed, only its numerics
+        from multimodal_registration_tpu.models.quantize import calibrate_scales
+
+        calib = jnp.linspace(0, 1, int(np.prod((batch, *shape, 1)))).reshape(
+            (batch, *shape, 1)
+        ).astype(jnp.float32)
+        params = {**params, "quant": calibrate_scales(cfg, params, [(calib, 1 - calib)])}
 
     @jax.jit
     def fwd(mov, fx):
@@ -138,16 +150,22 @@ def main():
                     help="train64 = headline (driver contract, default); "
                          "infer256 = the published inference widths "
                          "(config_inference.json:8-9)")
+    ap.add_argument("--quantize", default="", choices=["", "int8"],
+                    help="int8 = quantized-inference mode (wide convs on the "
+                         "int8 MXU path; models/quantize.py)")
     args = ap.parse_args()
     value = measure_tpu(iters=args.iters, batch=args.batch, arch=args.arch,
-                        blocks=args.blocks)
+                        blocks=args.blocks, quantize=args.quantize)
     baseline = get_baseline(args.arch)
     base = baseline.get(ARCHS[args.arch]["baseline_key"])
     vs = (value / base) if base else 1.0
+    metric = ARCHS[args.arch]["metric"]
+    if args.quantize:
+        metric += f"_{args.quantize}"
     print(
         json.dumps(
             {
-                "metric": ARCHS[args.arch]["metric"],
+                "metric": metric,
                 "value": round(value, 4),
                 "unit": "pairs/s",
                 "vs_baseline": round(vs, 2),

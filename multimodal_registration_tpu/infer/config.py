@@ -53,6 +53,11 @@ class InferenceConfig:
     # Set 0.0 (or null in JSON) for raw reference behavior.
     svf_smooth_sigma: float = 0.0
     model1_svf_smooth_sigma: float | None = 3.0
+    # int8 quantized inference ("" / null = off): wide U-Net convs run
+    # int8 x int8 -> int32 on the MXU (2x bf16 peak) with activation scales
+    # calibrated on the first predicted pair (or a sidecar via
+    # models/quantize.py). TPU-native opt-in; the reference is f32 TF-CPU.
+    quantize: str = ""
 
     @classmethod
     def from_json(cls, path: str) -> "InferenceConfig":

@@ -43,7 +43,7 @@ class Registrar:
     """
 
     def __init__(self, cfg: InferenceConfig, params, max_batch: int = 4,
-                 svf_smooth_sigma: float | None = None):
+                 svf_smooth_sigma: float | None = None, quant_scales=None):
         self.cfg = cfg
         self.vxm_cfg = VxmConfig(
             enc=tuple(cfg.enc),
@@ -56,13 +56,29 @@ class Registrar:
                 (cfg.svf_smooth_sigma if svf_smooth_sigma is None
                  else svf_smooth_sigma) or 0.0  # None (JSON null) = off
             ),
+            quantize=str(getattr(cfg, "quantize", "") or ""),
         )
         self.model = VxmDense(cfg=self.vxm_cfg)
         self.params = params
         self.max_batch = max_batch
+        # int8 activation scales: passed in (models/quantize.py sidecar) or
+        # lazily calibrated on the first predicted chunk (one extra
+        # full-precision forward; every returned output is quantized-path)
+        self.quant_scales = quant_scales
         self._apply = jax.jit(
             lambda p, m, f: self.model.apply(p, m, f)
         )
+
+    def _variables(self, m, f):
+        if not self.vxm_cfg.quantize:
+            return self.params
+        if self.quant_scales is None:
+            from multimodal_registration_tpu.models.quantize import calibrate_scales
+
+            self.quant_scales = calibrate_scales(
+                self.vxm_cfg, self.params, [(m, f)]
+            )
+        return {**self.params, "quant": self.quant_scales}
 
     def predict(self, mov: np.ndarray, fx: np.ndarray):
         """Batched predict on (B, X, Y, Z) arrays → (moved, warp_at_int_res)."""
@@ -77,7 +93,8 @@ class Registrar:
                 pad = chunk - n
                 m = np.concatenate([m, np.zeros((pad, *m.shape[1:]), np.float32)])
                 f = np.concatenate([f, np.zeros((pad, *f.shape[1:]), np.float32)])
-            out = self._apply(self.params, jnp.asarray(m)[..., None], jnp.asarray(f)[..., None])
+            mj, fj = jnp.asarray(m)[..., None], jnp.asarray(f)[..., None]
+            out = self._apply(self._variables(mj, fj), mj, fj)
             moved_parts.append(np.asarray(out["moved"][..., 0])[:n])
             warp_parts.append(np.asarray(out["warp"])[:n])
         return np.concatenate(moved_parts), np.concatenate(warp_parts)

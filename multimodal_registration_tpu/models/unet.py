@@ -48,6 +48,18 @@ class ConvBlock(nn.Module):
     # POOLED tensor — valid only when the full-res activation has no other
     # consumer (see Unet below). Param tree is unchanged ("conv/kernel").
     fused_pool: bool = False
+    # int8 quantized-inference mode ("" = off): int8 x int8 -> int32 conv on
+    # the MXU (2x bf16 peak on v5e-class chips) with per-output-channel weight
+    # scales and a calibrated per-tensor activation scale, dequant + bias +
+    # LeakyReLU fused at the output. Only convs with >= quant_min_cin input
+    # channels quantize (thin convs are bandwidth-bound — no MXU win, PERF.md
+    # int8 probe). Weights quantize on the fly from the f32 params (checkpoint
+    # format unchanged); activation scales live in the "quant" collection.
+    quant: str = ""
+    quant_min_cin: int = 64
+    # calibration pass: run the normal conv path while recording the running
+    # amax of each quantizable conv's input into the mutable "quant" collection
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -59,6 +71,27 @@ class ConvBlock(nn.Module):
             param_dtype=jnp.float32,
             name="conv",
         )
+        quantizable = (
+            self.quant == "int8"
+            and not self.fused_pool
+            and x.ndim == 5
+            and x.shape[-1] >= self.quant_min_cin
+            and not self.is_initializing()  # init materializes params normally
+        )
+        if quantizable and self.calibrate:
+            amax = self.variable(
+                "quant", "amax", lambda: jnp.zeros((), jnp.float32)
+            )
+            amax.value = jnp.maximum(
+                amax.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+            )
+        elif quantizable:
+            if not self.has_variable("quant", "amax"):
+                raise ValueError(
+                    "quantize='int8' needs calibrated activation scales: apply "
+                    "with a 'quant' collection (models/quantize.py::calibrate_scales)"
+                )
+            return self._int8_conv(conv, x)
         if self.fused_pool:
             from multimodal_registration_tpu.ops.pallas.conv_pool import (
                 conv3_lrelu_pool,
@@ -76,6 +109,40 @@ class ConvBlock(nn.Module):
         x = conv(x)
         return nn.leaky_relu(x, negative_slope=0.2)
 
+    def _int8_conv(self, conv, x):
+        """int8 x int8 -> int32 conv + fused f32 dequant/bias/LeakyReLU.
+
+        Symmetric quantization (zero-point 0, so SAME zero-padding stays
+        exact): per-output-channel weight scales from the f32 kernel, a
+        calibrated per-tensor activation scale from the "quant" collection.
+        Output returns in ``self.dtype`` like the bf16 path, so XLA fuses the
+        next layer's re-quantize into this conv's epilogue."""
+        from jax import lax
+
+        # materialize identical params without running the full conv
+        _ = conv(x[:, :1, :1, :1, :])
+        k = conv.variables["params"]["kernel"].astype(jnp.float32)
+        b = conv.variables["params"]["bias"].astype(jnp.float32)
+        w_scale = jnp.maximum(
+            jnp.max(jnp.abs(k), axis=(0, 1, 2, 3)), 1e-12
+        ) / 127.0  # (cout,)
+        kq = jnp.clip(jnp.round(k / w_scale), -127, 127).astype(jnp.int8)
+        a_scale = jnp.maximum(
+            self.get_variable("quant", "amax").astype(jnp.float32), 1e-12
+        ) / 127.0
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) * (1.0 / a_scale)), -127, 127
+        ).astype(jnp.int8)
+        dn = lax.conv_dimension_numbers(
+            xq.shape, kq.shape, ("NXYZC", "XYZIO", "NXYZC")
+        )
+        y = lax.conv_general_dilated(
+            xq, kq, (1, 1, 1), "SAME", dimension_numbers=dn,
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (a_scale * w_scale) + b
+        return nn.leaky_relu(y, negative_slope=0.2).astype(self.dtype)
+
 
 def _upsample_nearest_2x(x):
     # (B, X, Y, Z, C) -> (B, 2X, 2Y, 2Z, C); Keras UpSampling3D parity
@@ -89,6 +156,8 @@ class Unet(nn.Module):
     dec_nf: Sequence[int]
     nb_upsample_skips: int = 0
     dtype: Any = jnp.bfloat16
+    quant: str = ""  # "" | "int8" — see ConvBlock.quant
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -113,7 +182,8 @@ class Unet(nn.Module):
                               name=f"enc_{i}")(x)
                 skips.append(None)  # never popped; keeps pop order aligned
                 continue
-            x = ConvBlock(f, dtype=self.dtype, name=f"enc_{i}")(x)
+            x = ConvBlock(f, dtype=self.dtype, quant=self.quant,
+                          calibrate=self.calibrate, name=f"enc_{i}")(x)
             skips.append(x)
             # custom-VJP pool: reduce_window forward (same HLO as
             # nn.max_pool) + elementwise adjoint instead of XLA's
@@ -123,11 +193,13 @@ class Unet(nn.Module):
         # decoder: skips are popped deepest-first (enc_{N-1} … enc_0); the raw
         # input stays unused, matching the vxm Unet's encoder history
         for i, f in enumerate(self.dec_nf[: nb_levels - 1]):
-            x = ConvBlock(f, dtype=self.dtype, name=f"dec_{i}")(x)
+            x = ConvBlock(f, dtype=self.dtype, quant=self.quant,
+                          calibrate=self.calibrate, name=f"dec_{i}")(x)
             if i < (nb_levels - 1 - self.nb_upsample_skips):
                 x = _upsample_nearest_2x(x)
                 x = jnp.concatenate([x, skips.pop()], axis=-1)
 
         for j, f in enumerate(self.dec_nf[nb_levels - 1 :]):
-            x = ConvBlock(f, dtype=self.dtype, name=f"final_{j}")(x)
+            x = ConvBlock(f, dtype=self.dtype, quant=self.quant,
+                          calibrate=self.calibrate, name=f"final_{j}")(x)
         return x

@@ -59,6 +59,10 @@ class VxmConfig:
     # extension for the cascade's step-1 model, whose raw SVF folds on
     # large-displacement subjects (benchmarks/cascade_smoothing_sweep.py).
     svf_smooth_sigma: float = 0.0
+    # int8 quantized inference ("" = off): wide U-Net convs run int8 x int8 ->
+    # int32 on the MXU with calibrated activation scales (models/quantize.py);
+    # the flow head and thin convs stay full precision. Inference-only.
+    quantize: str = ""
 
     @classmethod
     def from_json_dict(cls, d: dict) -> "VxmConfig":
@@ -73,6 +77,7 @@ class VxmConfig:
                 d.get("integrate_payload_dtype", cls.integrate_payload_dtype)
             ),
             svf_smooth_sigma=float(d.get("svf_smooth_sigma", cls.svf_smooth_sigma)),
+            quantize=str(d.get("quantize", cls.quantize) or ""),
         )
 
 
@@ -80,6 +85,9 @@ class VxmDense(nn.Module):
     """Flax module. Inputs ``moving``/``fixed``: ``(B, X, Y, Z, 1)`` floats."""
 
     cfg: VxmConfig = VxmConfig()
+    # when cfg.quantize is set: run full precision while recording activation
+    # amaxes into the mutable "quant" collection (models/quantize.py)
+    quant_calibrate: bool = False
 
     @nn.compact
     def __call__(self, moving: jnp.ndarray, fixed: jnp.ndarray):
@@ -100,6 +108,8 @@ class VxmDense(nn.Module):
             dec_nf=tuple(cfg.dec),
             nb_upsample_skips=nb_upsample_skips,
             dtype=dtype,
+            quant=cfg.quantize,
+            calibrate=self.quant_calibrate,
             name="unet",
         )(x)
 
