@@ -33,7 +33,8 @@ class ShardedRegistrar:
     """
 
     def __init__(self, cfg: InferenceConfig, params, mesh: Mesh,
-                 max_batch: int = 4, svf_smooth_sigma: float | None = None):
+                 max_batch: int = 4, svf_smooth_sigma: float | None = None,
+                 quant_scales=None):
         self.cfg = cfg
         self.mesh = mesh
         self.max_batch = max_batch
@@ -50,7 +51,12 @@ class ShardedRegistrar:
                 (cfg.svf_smooth_sigma if svf_smooth_sigma is None
                  else svf_smooth_sigma) or 0.0  # None (JSON null) = off
             ),
+            quantize=str(getattr(cfg, "quantize", "") or ""),
         )
+        self.vxm_cfg = vxm_cfg
+        # int8 activation scales (scalars, replicated): sidecar-provided or
+        # lazily calibrated on the first predicted chunk (register.py parity)
+        self.quant_scales = quant_scales
         self.model = VxmDense(cfg=vxm_cfg)
         self._vol_sharding = NamedSharding(mesh, P("data", "space"))
         self._repl = NamedSharding(mesh, P())
@@ -66,6 +72,18 @@ class ShardedRegistrar:
                 "svf": self._vol_sharding,
             },
         )
+
+    def _variables(self, m, f):
+        if not self.vxm_cfg.quantize:
+            return self.params
+        if self.quant_scales is None:
+            from multimodal_registration_tpu.models.quantize import calibrate_scales
+
+            self.quant_scales = jax.device_put(
+                calibrate_scales(self.vxm_cfg, self.params, [(m, f)]),
+                self._repl,
+            )
+        return {**self.params, "quant": self.quant_scales}
 
     def predict(self, mov: np.ndarray, fx: np.ndarray, strict: bool = False):
         """(B, X, Y, Z) arrays → (moved, warp_at_int_res).
@@ -89,6 +107,7 @@ class ShardedRegistrar:
                 self._fallback = Registrar(
                     self.cfg, self.params, max_batch=self.max_batch,
                     svf_smooth_sigma=self._svf_smooth_sigma,
+                    quant_scales=self.quant_scales,
                 )
             return self._fallback.predict(mov, fx)
 
@@ -114,7 +133,7 @@ class ShardedRegistrar:
             fx_j = jax.device_put(
                 jnp.asarray(f, jnp.float32)[..., None], self._vol_sharding
             )
-            out = self._apply(self.params, mov_j, fx_j)
+            out = self._apply(self._variables(mov_j, fx_j), mov_j, fx_j)
             moved_parts.append(np.asarray(out["moved"][..., 0])[:n])
             warp_parts.append(np.asarray(out["warp"])[:n])
         return (np.concatenate(moved_parts), np.concatenate(warp_parts))

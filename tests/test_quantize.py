@@ -210,6 +210,32 @@ class TestRegistrarQuantized:
         rel = np.max(np.abs(warp_f - warp_q)) / max(np.max(np.abs(warp_f)), 1e-9)
         assert rel < 0.15, rel
 
+    def test_sharded_matches_single_device(self):
+        """quantize + space sharding: int32 conv accumulation is exact, so the
+        sharded quantized forward must equal the single-device one (the same
+        equality contract the bf16 sharded path carries, test_parallel.py)."""
+        from multimodal_registration_tpu.infer.config import InferenceConfig
+        from multimodal_registration_tpu.infer.register import Registrar
+        from multimodal_registration_tpu.infer.sharded import ShardedRegistrar
+        from multimodal_registration_tpu.parallel.mesh import make_mesh
+
+        cfg = InferenceConfig.from_dict(dict(
+            enc=[64, 64], dec=[64, 64, 64, 64], int_steps=3,
+            compute_dtype="float32", quantize="int8",
+        ))
+        vxm = VxmConfig(enc=(64, 64), dec=(64, 64, 64, 64), int_steps=3,
+                        compute_dtype="float32")
+        params = _rand_params(vxm, std=0.02)
+        rng = np.random.RandomState(11)
+        mov = rng.rand(1, 64, 32, 32).astype(np.float32)
+        fx = rng.rand(1, 64, 32, 32).astype(np.float32)
+
+        sharded = ShardedRegistrar(cfg, params, make_mesh(8, space=2))
+        m1, w1 = sharded.predict(mov, fx)
+        m2, w2 = Registrar(cfg, params).predict(mov, fx)
+        np.testing.assert_allclose(w1, w2, atol=2e-5)
+        np.testing.assert_allclose(m1, m2, atol=2e-5)
+
     def test_unknown_quantize_key_rejected_elsewhere(self):
         from multimodal_registration_tpu.infer.config import InferenceConfig
 
