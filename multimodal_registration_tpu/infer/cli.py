@@ -26,6 +26,7 @@ from multimodal_registration_tpu.infer.cascade import register_two_steps
 from multimodal_registration_tpu.infer.config import InferenceConfig
 from multimodal_registration_tpu.infer.register import load_params_any, register
 from multimodal_registration_tpu.infer.sharded import make_registrar
+from multimodal_registration_tpu.models.quantize import maybe_load_sidecar
 from multimodal_registration_tpu.utils import io as vio
 from multimodal_registration_tpu.utils import nifti
 
@@ -86,7 +87,8 @@ def pair_registration(argv=None):
         cfg.resample_interpolation = args.resample_interp
     _apply_sharding_flags(cfg, args)
     params = load_params_any(args.model_path, cfg)
-    reg = make_registrar(cfg, params)
+    reg = make_registrar(cfg, params,
+                         quant_scales=maybe_load_sidecar(args.model_path, cfg))
     return register(
         cfg,
         reg,
@@ -115,7 +117,8 @@ def bids_registration(argv=None):
     cfg = InferenceConfig.from_json(args.config_path)
     _apply_sharding_flags(cfg, args)
     params = load_params_any(args.model_path, cfg)
-    reg = make_registrar(cfg, params)
+    reg = make_registrar(cfg, params,
+                         quant_scales=maybe_load_sidecar(args.model_path, cfg))
     return register(
         cfg, reg, args.fx_img_path, args.mov_img_path,
         fx_contrast=args.fx_img_contrast, naming="bids",
@@ -138,8 +141,10 @@ def bids_two_steps(argv=None):
     cfg = InferenceConfig.from_json(args.config_path)
     _apply_sharding_flags(cfg, args)
     reg1 = make_registrar(cfg, load_params_any(args.model1_path, cfg),
-                          svf_smooth_sigma=cfg.model1_svf_smooth_sigma)
-    reg2 = make_registrar(cfg, load_params_any(args.model2_path, cfg))
+                          svf_smooth_sigma=cfg.model1_svf_smooth_sigma,
+                          quant_scales=maybe_load_sidecar(args.model1_path, cfg))
+    reg2 = make_registrar(cfg, load_params_any(args.model2_path, cfg),
+                          quant_scales=maybe_load_sidecar(args.model2_path, cfg))
     return register_two_steps(
         cfg, reg1, reg2, args.fx_img_path, args.mov_img_path,
         fx_contrast=args.fx_img_contrast,

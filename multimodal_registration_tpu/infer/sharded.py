@@ -140,7 +140,7 @@ class ShardedRegistrar:
 
 
 def make_registrar(cfg: InferenceConfig, params, max_batch: int = 4,
-                   svf_smooth_sigma: float | None = None):
+                   svf_smooth_sigma: float | None = None, quant_scales=None):
     """Build the registrar the inference config asks for.
 
     ``cfg.sharding`` = {} (or {"data": 1, "space": 1}) → the single-device
@@ -155,7 +155,8 @@ def make_registrar(cfg: InferenceConfig, params, max_batch: int = 4,
     space = int(cfg.sharding.get("space", 1) or 1)
     if data * space <= 1:
         return Registrar(cfg, params, max_batch=max_batch,
-                         svf_smooth_sigma=svf_smooth_sigma)
+                         svf_smooth_sigma=svf_smooth_sigma,
+                         quant_scales=quant_scales)
     n_avail = len(jax.devices())
     if data * space > n_avail:
         raise ValueError(
@@ -166,4 +167,5 @@ def make_registrar(cfg: InferenceConfig, params, max_batch: int = 4,
 
     mesh = make_mesh(data * space, space=space)
     return ShardedRegistrar(cfg, params, mesh, max_batch=max_batch,
-                            svf_smooth_sigma=svf_smooth_sigma)
+                            svf_smooth_sigma=svf_smooth_sigma,
+                            quant_scales=quant_scales)

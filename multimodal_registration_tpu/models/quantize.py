@@ -93,6 +93,22 @@ def save_scales(path: str, quant) -> None:
         json.dump(flat, f, indent=1, sort_keys=True)
 
 
+def sidecar_path(model_path: str) -> str:
+    return model_path + ".quant.json"
+
+
+def maybe_load_sidecar(model_path: str, cfg) -> "dict | None":
+    """Scales for a checkpoint, if ``<model_path>.quant.json`` exists and the
+    config asks for quantization; None otherwise (the registrars then
+    lazily calibrate on the first predicted pair)."""
+    import os
+
+    p = sidecar_path(model_path)
+    if str(getattr(cfg, "quantize", "") or "") and os.path.exists(p):
+        return load_scales(p)
+    return None
+
+
 def load_scales(path: str):
     """Read a sidecar written by :func:`save_scales` back into a collection."""
     from flax.traverse_util import unflatten_dict

@@ -236,6 +236,46 @@ class TestRegistrarQuantized:
         np.testing.assert_allclose(w1, w2, atol=2e-5)
         np.testing.assert_allclose(m1, m2, atol=2e-5)
 
+    def test_sidecar_autoload(self, tmp_path):
+        """<model>.quant.json next to the checkpoint is auto-loaded by the CLI
+        funnel (maybe_load_sidecar) and skips lazy calibration."""
+        from multimodal_registration_tpu.models.quantize import (
+            maybe_load_sidecar,
+            sidecar_path,
+        )
+        from multimodal_registration_tpu.infer.config import InferenceConfig
+        from multimodal_registration_tpu.infer.register import Registrar
+
+        cfg = InferenceConfig.from_dict(dict(
+            enc=[64, 64], dec=[64, 64, 64, 64], int_steps=3,
+            compute_dtype="float32", quantize="int8",
+        ))
+        vxm = VxmConfig(enc=(64, 64), dec=(64, 64, 64, 64), int_steps=3,
+                        compute_dtype="float32", quantize="int8")
+        params = _rand_params(vxm, std=0.02)
+        mov, fx = _pair(9)
+        quant = calibrate_scales(vxm, params, [(mov, fx)])
+        model_path = str(tmp_path / "w.npz")
+        save_scales(sidecar_path(model_path), quant)
+
+        assert maybe_load_sidecar(model_path, cfg) is not None
+        # config without quantize ignores the sidecar
+        cfg_off = InferenceConfig.from_dict(dict(
+            enc=[64, 64], dec=[64, 64, 64, 64], int_steps=3,
+            compute_dtype="float32",
+        ))
+        assert maybe_load_sidecar(model_path, cfg_off) is None
+
+        reg = Registrar(cfg, params,
+                        quant_scales=maybe_load_sidecar(model_path, cfg))
+        m = np.asarray(mov[..., 0])
+        f = np.asarray(fx[..., 0])
+        _, w_side = reg.predict(m, f)
+        assert reg.quant_scales is not None
+        _, w_lazy = Registrar(cfg, params).predict(m, f)
+        # sidecar scales came from the same pair the lazy path calibrates on
+        np.testing.assert_allclose(w_side, w_lazy, atol=1e-6)
+
     def test_unknown_quantize_key_rejected_elsewhere(self):
         from multimodal_registration_tpu.infer.config import InferenceConfig
 
