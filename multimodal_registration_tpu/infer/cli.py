@@ -26,7 +26,7 @@ from multimodal_registration_tpu.infer.cascade import register_two_steps
 from multimodal_registration_tpu.infer.config import InferenceConfig
 from multimodal_registration_tpu.infer.register import load_params_any, register
 from multimodal_registration_tpu.infer.sharded import make_registrar
-from multimodal_registration_tpu.models.quantize import maybe_load_sidecar
+from multimodal_registration_tpu.models.quantize import sidecar_kwargs
 from multimodal_registration_tpu.utils import io as vio
 from multimodal_registration_tpu.utils import nifti
 
@@ -87,8 +87,7 @@ def pair_registration(argv=None):
         cfg.resample_interpolation = args.resample_interp
     _apply_sharding_flags(cfg, args)
     params = load_params_any(args.model_path, cfg)
-    reg = make_registrar(cfg, params,
-                         quant_scales=maybe_load_sidecar(args.model_path, cfg))
+    reg = make_registrar(cfg, params, **sidecar_kwargs(args.model_path, cfg))
     return register(
         cfg,
         reg,
@@ -117,8 +116,7 @@ def bids_registration(argv=None):
     cfg = InferenceConfig.from_json(args.config_path)
     _apply_sharding_flags(cfg, args)
     params = load_params_any(args.model_path, cfg)
-    reg = make_registrar(cfg, params,
-                         quant_scales=maybe_load_sidecar(args.model_path, cfg))
+    reg = make_registrar(cfg, params, **sidecar_kwargs(args.model_path, cfg))
     return register(
         cfg, reg, args.fx_img_path, args.mov_img_path,
         fx_contrast=args.fx_img_contrast, naming="bids",
@@ -142,13 +140,90 @@ def bids_two_steps(argv=None):
     _apply_sharding_flags(cfg, args)
     reg1 = make_registrar(cfg, load_params_any(args.model1_path, cfg),
                           svf_smooth_sigma=cfg.model1_svf_smooth_sigma,
-                          quant_scales=maybe_load_sidecar(args.model1_path, cfg))
+                          **sidecar_kwargs(args.model1_path, cfg))
     reg2 = make_registrar(cfg, load_params_any(args.model2_path, cfg),
-                          quant_scales=maybe_load_sidecar(args.model2_path, cfg))
+                          **sidecar_kwargs(args.model2_path, cfg))
     return register_two_steps(
         cfg, reg1, reg2, args.fx_img_path, args.mov_img_path,
         fx_contrast=args.fx_img_contrast,
     )
+
+
+def quant_calibrate(argv=None):
+    """Calibrate int8 activation scales for a checkpoint and WRITE the
+    ``<model>.quant.json`` sidecar (models/quantize.py).
+
+    TPU-native tool (the reference is f32 TF-CPU and has no quantized path).
+    Pairs go through the exact inference preprocessing (`infer/preprocess.py`,
+    incl. subvolume tiling when the config asks for it), so the recorded
+    amaxes match what the quantized registrar will actually see. With the
+    sidecar present, every later quantized process skips the lazy
+    full-precision calibration forward (one compile + one forward saved)."""
+    from multimodal_registration_tpu.infer.preprocess import preprocess
+    from multimodal_registration_tpu.infer.register import vxm_config_from
+    from multimodal_registration_tpu.models.quantize import (
+        calibrate_scales,
+        save_scales,
+        sidecar_path,
+    )
+
+    p = argparse.ArgumentParser(
+        description="Write the int8 activation-scale sidecar for a checkpoint."
+    )
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--config-path", required=True)
+    p.add_argument("--pair", action="append", required=True,
+                   metavar="FIXED.nii.gz,MOVING.nii.gz",
+                   help="calibration pair (repeatable; 1-3 representative "
+                        "pairs are plenty — scales are per-tensor running "
+                        "amaxes)")
+    p.add_argument("--out", default=None,
+                   help="sidecar path (default: <model-path>.quant.json)")
+    p.add_argument("--margin", type=float, default=1.25,
+                   help="headroom factor on the recorded amaxes")
+    p.add_argument("--one-cpu-tf", default="True")
+    args = p.parse_args(argv)
+    _maybe_one_cpu(args.one_cpu_tf)
+
+    cfg = InferenceConfig.from_json(args.config_path)
+    if not (cfg.quantize or ""):
+        cfg.quantize = "int8"  # calibration implies the int8 layout
+    params = load_params_any(args.model_path, cfg)
+
+    pairs = []
+    for spec in args.pair:
+        parts = spec.split(",")
+        if len(parts) != 2:
+            raise SystemExit(
+                f"--pair wants FIXED,MOVING (two comma-separated paths), got: {spec!r}"
+            )
+        pre = preprocess(cfg, nifti.load(parts[0]), nifti.load(parts[1]))
+        if cfg.use_subvol:
+            pairs.extend(
+                (np.asarray(m, np.float32)[None, ..., None],
+                 np.asarray(f, np.float32)[None, ..., None])
+                for m, f in zip(pre.subvols_mov, pre.subvols_fx)
+            )
+        else:
+            pairs.append(
+                (pre.moving.get_fdata()[None, ..., None],
+                 pre.fixed.get_fdata()[None, ..., None])
+            )
+
+    quant = calibrate_scales(vxm_config_from(cfg), params, pairs,
+                             margin=args.margin)
+    import jax
+
+    if not jax.tree_util.tree_leaves(quant):
+        raise SystemExit(
+            "no quantizable conv at these widths (every conv input is thinner "
+            "than the int8 threshold) — nothing to calibrate; int8 only pays "
+            "at the published enc-256 widths (PERF.md round 4f)"
+        )
+    out = args.out or sidecar_path(args.model_path)
+    save_scales(out, quant)
+    print(out)
+    return out
 
 
 def gen_apply_def_field(argv=None):

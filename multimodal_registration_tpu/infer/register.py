@@ -34,6 +34,45 @@ from multimodal_registration_tpu.ops.warp import warp as device_warp
 from multimodal_registration_tpu.utils import nifti
 
 
+def vxm_config_from(cfg: InferenceConfig,
+                    svf_smooth_sigma: float | None = None) -> VxmConfig:
+    """The model config an :class:`InferenceConfig` maps to (shared by the
+    single-device and sharded registrars and the calibration CLI, so every
+    construction site agrees on the quantize/smoothing semantics)."""
+    return VxmConfig(
+        enc=tuple(cfg.enc),
+        dec=tuple(cfg.dec),
+        int_steps=cfg.int_steps,
+        int_res=cfg.int_res,
+        svf_res=cfg.svf_res,
+        compute_dtype=cfg.compute_dtype,
+        svf_smooth_sigma=float(
+            (cfg.svf_smooth_sigma if svf_smooth_sigma is None
+             else svf_smooth_sigma) or 0.0  # None (JSON null) = off
+        ),
+        quantize=str(getattr(cfg, "quantize", "") or ""),
+    )
+
+
+def persist_quant_sidecar(path: str, quant) -> bool:
+    """Best-effort write of lazily-calibrated int8 scales to the checkpoint's
+    ``<model>.quant.json`` sidecar, so the one-time calibration forward is
+    paid once per checkpoint instead of once per process. Never raises —
+    a read-only checkpoint directory only costs recalibration next run."""
+    import warnings
+
+    if not path or not jax.tree_util.tree_leaves(quant):
+        return False
+    try:
+        from multimodal_registration_tpu.models.quantize import save_scales
+
+        save_scales(path, quant)
+        return True
+    except OSError as e:  # pragma: no cover - depends on fs permissions
+        warnings.warn(f"could not persist int8 scales to {path}: {e}")
+        return False
+
+
 class Registrar:
     """Holds params + per-shape jitted apply functions.
 
@@ -43,28 +82,20 @@ class Registrar:
     """
 
     def __init__(self, cfg: InferenceConfig, params, max_batch: int = 4,
-                 svf_smooth_sigma: float | None = None, quant_scales=None):
+                 svf_smooth_sigma: float | None = None, quant_scales=None,
+                 quant_sidecar: str | None = None):
         self.cfg = cfg
-        self.vxm_cfg = VxmConfig(
-            enc=tuple(cfg.enc),
-            dec=tuple(cfg.dec),
-            int_steps=cfg.int_steps,
-            int_res=cfg.int_res,
-            svf_res=cfg.svf_res,
-            compute_dtype=cfg.compute_dtype,
-            svf_smooth_sigma=float(
-                (cfg.svf_smooth_sigma if svf_smooth_sigma is None
-                 else svf_smooth_sigma) or 0.0  # None (JSON null) = off
-            ),
-            quantize=str(getattr(cfg, "quantize", "") or ""),
-        )
+        self.vxm_cfg = vxm_config_from(cfg, svf_smooth_sigma)
         self.model = VxmDense(cfg=self.vxm_cfg)
         self.params = params
         self.max_batch = max_batch
         # int8 activation scales: passed in (models/quantize.py sidecar) or
         # lazily calibrated on the first predicted chunk (one extra
-        # full-precision forward; every returned output is quantized-path)
+        # full-precision forward; every returned output is quantized-path).
+        # When ``quant_sidecar`` names a path, lazily-calibrated scales are
+        # persisted there so later processes skip the calibration forward.
         self.quant_scales = quant_scales
+        self.quant_sidecar = quant_sidecar
         self._apply = jax.jit(
             lambda p, m, f: self.model.apply(p, m, f)
         )
@@ -78,6 +109,7 @@ class Registrar:
             self.quant_scales = calibrate_scales(
                 self.vxm_cfg, self.params, [(m, f)]
             )
+            persist_quant_sidecar(self.quant_sidecar, self.quant_scales)
         return {**self.params, "quant": self.quant_scales}
 
     def predict(self, mov: np.ndarray, fx: np.ndarray):

@@ -34,29 +34,21 @@ class ShardedRegistrar:
 
     def __init__(self, cfg: InferenceConfig, params, mesh: Mesh,
                  max_batch: int = 4, svf_smooth_sigma: float | None = None,
-                 quant_scales=None):
+                 quant_scales=None, quant_sidecar: str | None = None):
+        from multimodal_registration_tpu.infer.register import vxm_config_from
+
         self.cfg = cfg
         self.mesh = mesh
         self.max_batch = max_batch
         self._fallback = None
         self._svf_smooth_sigma = svf_smooth_sigma
-        vxm_cfg = VxmConfig(
-            enc=tuple(cfg.enc),
-            dec=tuple(cfg.dec),
-            int_steps=cfg.int_steps,
-            int_res=cfg.int_res,
-            svf_res=cfg.svf_res,
-            compute_dtype=cfg.compute_dtype,
-            svf_smooth_sigma=float(
-                (cfg.svf_smooth_sigma if svf_smooth_sigma is None
-                 else svf_smooth_sigma) or 0.0  # None (JSON null) = off
-            ),
-            quantize=str(getattr(cfg, "quantize", "") or ""),
-        )
+        vxm_cfg = vxm_config_from(cfg, svf_smooth_sigma)
         self.vxm_cfg = vxm_cfg
         # int8 activation scales (scalars, replicated): sidecar-provided or
-        # lazily calibrated on the first predicted chunk (register.py parity)
+        # lazily calibrated on the first predicted chunk (register.py parity);
+        # lazily-calibrated scales persist to ``quant_sidecar`` when given
         self.quant_scales = quant_scales
+        self.quant_sidecar = quant_sidecar
         self.model = VxmDense(cfg=vxm_cfg)
         self._vol_sharding = NamedSharding(mesh, P("data", "space"))
         self._repl = NamedSharding(mesh, P())
@@ -77,12 +69,12 @@ class ShardedRegistrar:
         if not self.vxm_cfg.quantize:
             return self.params
         if self.quant_scales is None:
+            from multimodal_registration_tpu.infer.register import persist_quant_sidecar
             from multimodal_registration_tpu.models.quantize import calibrate_scales
 
-            self.quant_scales = jax.device_put(
-                calibrate_scales(self.vxm_cfg, self.params, [(m, f)]),
-                self._repl,
-            )
+            scales = calibrate_scales(self.vxm_cfg, self.params, [(m, f)])
+            persist_quant_sidecar(self.quant_sidecar, scales)
+            self.quant_scales = jax.device_put(scales, self._repl)
         return {**self.params, "quant": self.quant_scales}
 
     def predict(self, mov: np.ndarray, fx: np.ndarray, strict: bool = False):
@@ -108,6 +100,7 @@ class ShardedRegistrar:
                     self.cfg, self.params, max_batch=self.max_batch,
                     svf_smooth_sigma=self._svf_smooth_sigma,
                     quant_scales=self.quant_scales,
+                    quant_sidecar=self.quant_sidecar,
                 )
             return self._fallback.predict(mov, fx)
 
@@ -140,7 +133,8 @@ class ShardedRegistrar:
 
 
 def make_registrar(cfg: InferenceConfig, params, max_batch: int = 4,
-                   svf_smooth_sigma: float | None = None, quant_scales=None):
+                   svf_smooth_sigma: float | None = None, quant_scales=None,
+                   quant_sidecar: str | None = None):
     """Build the registrar the inference config asks for.
 
     ``cfg.sharding`` = {} (or {"data": 1, "space": 1}) → the single-device
@@ -156,7 +150,8 @@ def make_registrar(cfg: InferenceConfig, params, max_batch: int = 4,
     if data * space <= 1:
         return Registrar(cfg, params, max_batch=max_batch,
                          svf_smooth_sigma=svf_smooth_sigma,
-                         quant_scales=quant_scales)
+                         quant_scales=quant_scales,
+                         quant_sidecar=quant_sidecar)
     n_avail = len(jax.devices())
     if data * space > n_avail:
         raise ValueError(
@@ -168,4 +163,5 @@ def make_registrar(cfg: InferenceConfig, params, max_batch: int = 4,
     mesh = make_mesh(data * space, space=space)
     return ShardedRegistrar(cfg, params, mesh, max_batch=max_batch,
                             svf_smooth_sigma=svf_smooth_sigma,
-                            quant_scales=quant_scales)
+                            quant_scales=quant_scales,
+                            quant_sidecar=quant_sidecar)

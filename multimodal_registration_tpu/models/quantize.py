@@ -109,6 +109,19 @@ def maybe_load_sidecar(model_path: str, cfg) -> "dict | None":
     return None
 
 
+def sidecar_kwargs(model_path: str, cfg) -> dict:
+    """Registrar-construction kwargs for the int8 sidecar contract: pre-load
+    scales when ``<model>.quant.json`` exists, and point lazy calibration at
+    that path otherwise (so the one-time calibration forward persists its
+    result and is paid once per checkpoint, not once per process)."""
+    if not str(getattr(cfg, "quantize", "") or ""):
+        return {}
+    return {
+        "quant_scales": maybe_load_sidecar(model_path, cfg),
+        "quant_sidecar": sidecar_path(model_path),
+    }
+
+
 def load_scales(path: str):
     """Read a sidecar written by :func:`save_scales` back into a collection."""
     from flax.traverse_util import unflatten_dict

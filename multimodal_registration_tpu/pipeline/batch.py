@@ -110,16 +110,16 @@ def _run_batch_inner(
     # batch pipeline rides the same factory as the CLIs
     # in two-step mode `model_path` is the cascade's step-1 (smooth) model —
     # it takes the model1-specific SVF-smoothing override
-    from multimodal_registration_tpu.models.quantize import maybe_load_sidecar
+    from multimodal_registration_tpu.models.quantize import sidecar_kwargs
 
     registrar = make_registrar(
         cfg, load_params_any(model_path, cfg),
         svf_smooth_sigma=cfg.model1_svf_smooth_sigma if model2_path else None,
-        quant_scales=maybe_load_sidecar(model_path, cfg),
+        **sidecar_kwargs(model_path, cfg),
     )
     registrar2 = make_registrar(
         cfg, load_params_any(model2_path, cfg),
-        quant_scales=maybe_load_sidecar(model2_path, cfg),
+        **sidecar_kwargs(model2_path, cfg),
     ) if model2_path else None
     segmenter = segmenter or default_segmenter()
     qc = QCReport(path_qc)

@@ -7,6 +7,7 @@ inference architecture's conv-dominated forward (PERF.md round 4b/4f).
 """
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -275,6 +276,148 @@ class TestRegistrarQuantized:
         _, w_lazy = Registrar(cfg, params).predict(m, f)
         # sidecar scales came from the same pair the lazy path calibrates on
         np.testing.assert_allclose(w_side, w_lazy, atol=1e-6)
+
+    def test_lazy_calibration_persists_sidecar(self, tmp_path):
+        """Round-5 productization (VERDICT r4 missing #4): a registrar given a
+        ``quant_sidecar`` path writes its lazily-calibrated scales there, and
+        a second registrar built through ``sidecar_kwargs`` loads them and
+        never calls calibrate_scales again."""
+        from multimodal_registration_tpu.infer.config import InferenceConfig
+        from multimodal_registration_tpu.infer.register import Registrar
+        from multimodal_registration_tpu.models import quantize as qmod
+
+        cfg = InferenceConfig.from_dict(dict(
+            enc=[64, 64], dec=[64, 64, 64, 64], int_steps=3,
+            compute_dtype="float32", quantize="int8",
+        ))
+        vxm = VxmConfig(enc=(64, 64), dec=(64, 64, 64, 64), int_steps=3,
+                        compute_dtype="float32")
+        params = _rand_params(vxm, std=0.02)
+        rng = np.random.RandomState(21)
+        mov = rng.rand(1, 32, 32, 32).astype(np.float32)
+        fx = rng.rand(1, 32, 32, 32).astype(np.float32)
+
+        model_path = str(tmp_path / "w.npz")
+        kw = qmod.sidecar_kwargs(model_path, cfg)
+        assert kw["quant_scales"] is None  # nothing on disk yet
+        reg = Registrar(cfg, params, **kw)
+        _, w1 = reg.predict(mov, fx)
+        side = qmod.sidecar_path(model_path)
+        assert os.path.exists(side), "lazy calibration must persist the sidecar"
+
+        # second construction: scales come from disk; calibration must not run
+        kw2 = qmod.sidecar_kwargs(model_path, cfg)
+        assert kw2["quant_scales"] is not None
+
+        def _boom(*a, **k):  # pragma: no cover - fails the test if reached
+            raise AssertionError("calibrate_scales called despite sidecar")
+
+        orig = qmod.calibrate_scales
+        qmod.calibrate_scales = _boom
+        try:
+            _, w2 = Registrar(cfg, params, **kw2).predict(mov, fx)
+        finally:
+            qmod.calibrate_scales = orig
+        np.testing.assert_array_equal(w1, w2)
+
+    def test_sidecar_kwargs_off_when_not_quantized(self, tmp_path):
+        from multimodal_registration_tpu.infer.config import InferenceConfig
+        from multimodal_registration_tpu.models.quantize import sidecar_kwargs
+
+        cfg = InferenceConfig.from_dict(dict(enc=[32, 32], dec=[32, 32, 32, 32]))
+        assert sidecar_kwargs(str(tmp_path / "w.npz"), cfg) == {}
+
+    def test_quant_calibrate_cli_writes_sidecar(self, tmp_path):
+        """The mmreg-calibrate entry point: preprocess real NIfTI pairs, write
+        the sidecar, and the pair-registration CLI then runs quantized without
+        recalibrating."""
+        from multimodal_registration_tpu.infer.cli import (
+            pair_registration,
+            quant_calibrate,
+        )
+        from multimodal_registration_tpu.models import quantize as qmod
+        from multimodal_registration_tpu.models.vxm_dense import init_params
+        from multimodal_registration_tpu.train.trainer import _flatten_params
+        from multimodal_registration_tpu.utils import nifti
+
+        rng = np.random.RandomState(3)
+        shape = (40, 44, 36)
+        for name, seed in (("fx", 0), ("mov", 1)):
+            g = np.stack(np.meshgrid(
+                *[np.linspace(-1, 1, s) for s in shape], indexing="ij"))
+            data = np.exp(-(g ** 2).sum(0) * 4) + 0.05 * rng.rand(*shape)
+            nifti.save(
+                nifti.NiftiImage(data.astype(np.float32), np.eye(4)),
+                str(tmp_path / f"{name}.nii.gz"),
+            )
+        vxm = VxmConfig(enc=(64, 64), dec=(64, 64, 64, 64), int_steps=3,
+                        compute_dtype="float32")
+        model_path = str(tmp_path / "w.npz")
+        np.savez(model_path, **_flatten_params(
+            init_params(vxm, inshape=(16, 16, 16))))
+        cfg_path = str(tmp_path / "cfg.json")
+        import json
+
+        with open(cfg_path, "w") as f:
+            json.dump(dict(enc=[64, 64], dec=[64, 64, 64, 64], int_steps=3,
+                           compute_dtype="float32", quantize="int8"), f)
+
+        out = quant_calibrate([
+            "--model-path", model_path, "--config-path", cfg_path,
+            "--pair", f"{tmp_path}/fx.nii.gz,{tmp_path}/mov.nii.gz",
+            "--one-cpu-tf", "False",
+        ])
+        assert out == qmod.sidecar_path(model_path) and os.path.exists(out)
+
+        orig = qmod.calibrate_scales
+
+        def _boom(*a, **k):  # pragma: no cover
+            raise AssertionError("CLI recalibrated despite sidecar")
+
+        qmod.calibrate_scales = _boom
+        try:
+            res = pair_registration([
+                "--model-path", model_path, "--config-path", cfg_path,
+                "--fx-img-path", f"{tmp_path}/fx.nii.gz",
+                "--mov-img-path", f"{tmp_path}/mov.nii.gz",
+                "--res-dir", str(tmp_path / "res"),
+                "--one-cpu-tf", "False",
+            ])
+        finally:
+            qmod.calibrate_scales = orig
+        assert os.path.exists(res["paths"]["moved_orig"])
+
+    def test_quant_calibrate_cli_thin_net_errors(self, tmp_path):
+        """Nothing quantizable at thin widths -> a one-line actionable error,
+        not an empty sidecar."""
+        from multimodal_registration_tpu.infer.cli import quant_calibrate
+        from multimodal_registration_tpu.models.vxm_dense import init_params
+        from multimodal_registration_tpu.train.trainer import _flatten_params
+        from multimodal_registration_tpu.utils import nifti
+
+        shape = (40, 44, 36)
+        for name in ("fx", "mov"):
+            nifti.save(
+                nifti.NiftiImage(np.zeros(shape, np.float32), np.eye(4)),
+                str(tmp_path / f"{name}.nii.gz"),
+            )
+        vxm = VxmConfig(enc=(16, 16), dec=(16, 16, 16, 16), int_steps=3,
+                        compute_dtype="float32")
+        model_path = str(tmp_path / "w.npz")
+        np.savez(model_path, **_flatten_params(
+            init_params(vxm, inshape=(16, 16, 16))))
+        import json
+
+        cfg_path = str(tmp_path / "cfg.json")
+        with open(cfg_path, "w") as f:
+            json.dump(dict(enc=[16, 16], dec=[16, 16, 16, 16], int_steps=3,
+                           compute_dtype="float32"), f)
+        with pytest.raises(SystemExit, match="nothing to calibrate"):
+            quant_calibrate([
+                "--model-path", model_path, "--config-path", cfg_path,
+                "--pair", f"{tmp_path}/fx.nii.gz,{tmp_path}/mov.nii.gz",
+                "--one-cpu-tf", "False",
+            ])
 
     def test_unknown_quantize_key_rejected_elsewhere(self):
         from multimodal_registration_tpu.infer.config import InferenceConfig
