@@ -76,6 +76,21 @@ class InferenceConfig:
         bad = set(cfg.sharding) - {"data", "space"}
         if bad:
             raise ValueError(f"unknown sharding keys: {sorted(bad)} (want data/space)")
+        for k, v in cfg.sharding.items():
+            if v is not None and (not isinstance(v, int) or isinstance(v, bool)
+                                  or v < 1):
+                raise ValueError(
+                    f"sharding.{k} must be a positive integer (number of "
+                    f"chips), got {v!r}"
+                )
+        if cfg.quantize is None:
+            cfg.quantize = ""
+        if cfg.quantize not in ("", "int8"):
+            raise ValueError(
+                f"unknown quantize mode {cfg.quantize!r}: supported values are "
+                "\"int8\" (wide convs on the int8 MXU path, models/quantize.py) "
+                "or \"\"/null (full precision)"
+            )
         return cfg
 
     def round16(self, x: int, axis: int | None = None) -> int:

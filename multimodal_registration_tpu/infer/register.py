@@ -436,15 +436,29 @@ def load_params_any(path: str, cfg: InferenceConfig):
         ),
         inshape=(16, 16, 16),
     )
+    def _arch_hint(e):
+        return ValueError(
+            f"checkpoint {path!r} does not match the config's architecture "
+            f"(enc={list(cfg.enc)}, dec={list(cfg.dec)}) — point --config-path "
+            f"at the config this model was trained/exported with. Underlying "
+            f"error: {e}"
+        )
+
     if path.endswith((".h5", ".hdf5")):
         from multimodal_registration_tpu.models.h5_import import import_keras_vxm_h5
 
         vxm_cfg = VxmConfig(enc=tuple(cfg.enc), dec=tuple(cfg.dec))
-        return import_keras_vxm_h5(path, template, vxm_cfg)
+        try:
+            return import_keras_vxm_h5(path, template, vxm_cfg)
+        except (KeyError, ValueError) as e:
+            raise _arch_hint(e) from e
     if path.endswith(".npz"):
         from multimodal_registration_tpu.train.trainer import _unflatten_params
 
-        return _unflatten_params(template, dict(np.load(path)))
+        try:
+            return _unflatten_params(template, dict(np.load(path)))
+        except (KeyError, ValueError) as e:
+            raise _arch_hint(e) from e
     import orbax.checkpoint as ocp
 
     restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))

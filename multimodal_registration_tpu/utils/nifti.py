@@ -312,9 +312,21 @@ def load(path: str, cached: bool = False) -> NiftiImage:
             if img is not None:
                 return _cache_view(img)
     opener = gzip.open if str(path).endswith(".gz") else open
-    with opener(path, "rb") as f:
-        raw = f.read()
-    img = _parse_image(raw)
+    try:
+        with opener(path, "rb") as f:
+            raw = f.read()
+        img = _parse_image(raw)
+    except FileNotFoundError:
+        raise
+    except (OSError, EOFError, ValueError, IndexError, struct.error) as e:
+        # gzip.BadGzipFile is an OSError; struct/Value/Index errors are what a
+        # truncated or bit-flipped header/payload produces in _parse_image.
+        # One actionable line instead of a raw traceback (operability target:
+        # the reference dies in nibabel internals on the same inputs).
+        raise ValueError(
+            f"corrupt or truncated NIfTI file {path!r}: "
+            f"{e.__class__.__name__}: {e}"
+        ) from e
     if key is not None:
         _cache_insert(key, img)
         return _cache_view(img)

@@ -423,7 +423,7 @@ class TestRegistrarQuantized:
         from multimodal_registration_tpu.infer.config import InferenceConfig
 
         cfg = InferenceConfig.from_dict({"quantize": None})
-        assert cfg.quantize is None  # null accepted...
+        assert cfg.quantize == ""  # null accepted and normalized to off...
         from multimodal_registration_tpu.infer.register import Registrar
 
         params = _rand_params(
