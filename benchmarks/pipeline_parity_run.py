@@ -106,6 +106,11 @@ def main():
                          "(config_inference.json:8-9) with the checkpoint "
                          "trained by learn_ref_workload --width=256; writes "
                          "a _w<width> artifact")
+    ap.add_argument("--quantize", default="", choices=["", "int8"],
+                    help="run the pipeline with int8 quantized inference "
+                         "(models/quantize.py); lazy calibration persists the "
+                         "checkpoint's .quant.json sidecar; writes a _int8 "
+                         "artifact (VERDICT r4 item 1b)")
     args = ap.parse_args()
 
     if args.quick:
@@ -153,6 +158,9 @@ def main():
         infer_cfg = dict(enc=list(tcfg.enc), dec=list(tcfg.dec),
                          int_steps=tcfg.int_steps, int_res=tcfg.int_res,
                          svf_res=tcfg.svf_res)
+
+    if args.quantize:
+        infer_cfg["quantize"] = args.quantize
 
     from multimodal_registration_tpu.train.trainer import Trainer
 
@@ -238,6 +246,8 @@ def main():
     path = ARTIFACT
     if args.width:
         path = ARTIFACT.replace(".json", f"_w{args.width}.json")
+    if args.quantize:
+        path = path.replace(".json", f"_{args.quantize}.json")
     if args.quick:
         path += ".quick"
     with open(path, "w") as f:

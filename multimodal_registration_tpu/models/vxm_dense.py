@@ -176,11 +176,25 @@ class VxmDense(nn.Module):
             flow_fullres = pos_flow
 
         # warp_batch (not vmap(warp)): keeps the chunked path's halo cond a
-        # real conditional — vmap would turn it into a both-branches select
+        # real conditional — vmap would turn it into a both-branches select.
+        # When the field is exactly the half grid, the fused path upsamples
+        # it per-chunk inside the warp instead of materializing flow_fullres
+        # (MMREG_FUSED_UPWARP=0 restores the explicit rescale; VERDICT r4
+        # directive 2 — flow_fullres above is then DCE'd by XLA whenever no
+        # output consumer asks for it)
+        fused_up = (
+            os.environ.get("MMREG_FUSED_UPWARP", "1") == "1"
+            and not use_zline
+            and tuple(2 * d for d in pos_flow.shape[1:4]) == tuple(inshape)
+        )
         if use_zline:
             from multimodal_registration_tpu.ops.warp_zline import warp_zline_batch
 
             moved = warp_zline_batch(moving.astype(jnp.float32), flow_fullres)
+        elif fused_up:
+            from multimodal_registration_tpu.ops.warp import warp_up2x_batch
+
+            moved = warp_up2x_batch(moving.astype(jnp.float32), pos_flow)
         else:
             moved = warp_batch(moving.astype(jnp.float32), flow_fullres, interp="linear")
         return {

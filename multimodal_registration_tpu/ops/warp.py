@@ -438,6 +438,120 @@ def warp_batch(vol, flow, interp="linear"):
     return out[..., 0] if squeeze else out
 
 
+def _fused_up2x_chunk_body(vol4, flow_half, H, n_chunks, S):
+    """Chunked packed warp whose coordinates come from the 2x corner-aligned
+    upsample of a HALF-RES field, computed per-chunk (never materializing the
+    full-res field). CORRECT ONLY when every ``2*|flow_half_x| <= H-1``."""
+    from multimodal_registration_tpu.ops.resize import _upsample2x_axis
+
+    X, Y, Z, C = vol4.shape
+    CX = X // n_chunks
+    CXh = CX // 2
+    packed4 = pack_corners(vol4).reshape(X, Y, Z, 8 * C)
+    # one edge plane appended so every chunk's x-interleave can read its
+    # (i+1) neighbor without per-chunk boundary cases: rescale_field's
+    # far-edge clamp == reading the duplicated plane
+    fp = jnp.pad(flow_half.astype(jnp.float32),
+                 ((0, 1), (0, 0), (0, 0), (0, 0)), mode="edge")
+    dims = jnp.array([X - 1, Y - 1, Z - 1], jnp.float32)
+    gy = jnp.arange(Y, dtype=jnp.float32)[None, :, None]
+    gz = jnp.arange(Z, dtype=jnp.float32)[None, None, :]
+    hi_p = jax.lax.Precision.HIGHEST
+
+    def chunk_fn(k):
+        x0 = k * CX
+        s = jnp.clip(x0 - H, 0, X - S)
+        slab = jax.lax.dynamic_slice(packed4, (s, 0, 0, 0), (S, Y, Z, 8 * C))
+        fs = jax.lax.dynamic_slice(
+            fp, (k * CXh, 0, 0, 0), (CXh + 1, fp.shape[1], fp.shape[2], 3)
+        )
+        f = _upsample2x_axis(_upsample2x_axis(fs, 2), 1)  # minor-axis-first
+        a = f[:CXh]
+        b = f[1:CXh + 1]
+        fx = jnp.stack([a, 0.5 * (a + b)], axis=1).reshape(CX, Y, Z, 3)
+        flow_c = 2.0 * fx  # rescale_field scales vectors by the zoom factor
+        gx = (x0.astype(jnp.float32)
+              + jnp.arange(CX, dtype=jnp.float32))[:, None, None]
+        grid = jnp.stack(jnp.broadcast_arrays(gx, gy, gz), axis=-1)
+        c = jnp.clip(grid + flow_c, 0.0, dims)
+        lin, w = _floor_base(c, X, Y, Z)
+        w8 = _corner_weights(w)
+        ix = jnp.floor(c[..., 0]).astype(jnp.int32)
+        iyz = lin - ix * (Y * Z)
+        ixr = jnp.clip(ix - s, 0, S - 1)
+        rows = jnp.take(
+            slab.reshape(S * Y * Z, 8 * C),
+            (ixr * (Y * Z) + iyz).reshape(-1), axis=0,
+        )
+        blocks = rows.reshape(CX, Y, Z, 8, C).astype(jnp.float32)
+        return jnp.einsum("...kc,...k->...c", blocks, w8, precision=hi_p)
+
+    out = jax.lax.map(jax.checkpoint(chunk_fn), jnp.arange(n_chunks))
+    return out.reshape(X, Y, Z, C)
+
+
+def warp_up2x_batch(vol, flow_half):
+    """Warp full-res ``vol (B, X, Y, Z[, C])`` by the 2x corner-aligned
+    upsample of a half-res displacement field ``flow_half (B, X/2, Y/2, Z/2,
+    3)`` WITHOUT materializing the full-res field: each packed-warp chunk
+    upsamples only its own field slab inside the chunk loop. Equal (up to
+    f32 rounding order) to ``warp_batch(vol, vmap(rescale_field(., 2)))``.
+
+    Motivation (VERDICT r4 directive 2): the model's full-res rescale
+    measured 12.2 ms in-context vs ~3 ms isolated — the gap is layout copies
+    between the global interleave and the warp's coordinate math. Streaming
+    the upsample per-chunk removes the 85 MB full-res field materialization
+    (and lets XLA DCE the exported ``flow_fullres`` output when no consumer
+    asks for it). Linear interp only (the model's moved-image warp,
+    `train_synthmorph.py:298`).
+    """
+    from multimodal_registration_tpu.ops.resize import rescale_field
+
+    squeeze = vol.ndim == 4
+    v5 = vol[..., None] if squeeze else vol
+    B, X, Y, Z, C = v5.shape
+    assert tuple(flow_half.shape[1:4]) == (X // 2, Y // 2, Z // 2), (
+        f"flow_half {flow_half.shape} is not the half grid of {v5.shape}"
+    )
+    plan = (_chunk_plan(X, Y, Z, C, jnp.dtype(v5.dtype).itemsize)
+            if _warp_mode() == "packed" else None)
+    if plan is not None and (X // plan[1]) % 2:
+        plan = None  # chunk width must be even to interleave x in-chunk
+
+    def _full_coords():
+        full = jax.vmap(
+            lambda f: rescale_field(f, 2, out_shape=(X, Y, Z))
+        )(flow_half.astype(jnp.float32))
+        grid = identity_grid((X, Y, Z), dtype=jnp.float32)
+        dims = jnp.array([X - 1, Y - 1, Z - 1], jnp.float32)
+        return jnp.clip(grid[None] + full, 0.0, dims)
+
+    if plan is None:
+        full = jax.vmap(
+            lambda f: rescale_field(f, 2, out_shape=(X, Y, Z))
+        )(flow_half.astype(jnp.float32))
+        out = warp_batch(v5, full, interp="linear")
+        return out[..., 0] if squeeze else out
+
+    H, n_chunks, S = plan
+    in_halo = 2.0 * jnp.max(jnp.abs(flow_half[..., 0])) <= float(H - 1)
+
+    def _fallback(_):
+        c = _full_coords()
+        w8 = _corner_weights(c - jnp.floor(c))
+        return jax.vmap(_packed_full)(v5, c, w8)
+
+    out = jax.lax.cond(
+        in_halo,
+        lambda _: jax.vmap(
+            lambda v, f: _fused_up2x_chunk_body(v, f, H, n_chunks, S)
+        )(v5, flow_half),
+        _fallback,
+        0,
+    ).astype(v5.dtype)
+    return out[..., 0] if squeeze else out
+
+
 def _packed_label_rows(labels: jnp.ndarray, flow: jnp.ndarray, num_classes: int):
     """Shared int-corner gather: pack the 8 corner labels per voxel (int8 when
     they fit) and gather one row per output voxel. Returns ``(rows int32

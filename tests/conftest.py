@@ -15,3 +15,63 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---- fast/slow tiers -------------------------------------------------------
+# `pytest -m "not slow"` is the fast gate (< ~2 min); the full suite stays the
+# merge bar. Tier membership lives HERE (one list, measured by --durations),
+# not scattered across files. Entries are nodeid suffixes: "file.py::test" or
+# a class prefix "file.py::Class".
+SLOW_TESTS = (
+    "test_train.py::test_compose_res_half_matches_full",
+    "test_warp_zline.py::TestZlineCompose::test_trainer_env_flag_equivalence",
+    "test_quantize.py::TestRegistrarQuantized::test_sharded_matches_single_device",
+    "test_train.py::test_npz_warm_start",
+    "test_model.py::test_gradients_nonzero",
+    "test_conv_pool.py::TestUnetIntegration::test_fused_unet_matches_plain",
+    "test_integration.py::test_train_then_register_then_evaluate",
+    "test_pool.py::test_odd_spatial_dims_gradient_matches_nn_max_pool",
+    "test_quantize.py::TestCalibration::test_wide_net_quantizes_and_tracks",
+    "test_conv_pool.py::TestKernel::test_wider_channels_and_blocks",
+    "test_model.py::test_output_shapes",
+    "test_synth.py::TestImageEngine::test_outputs",
+    "test_warp_zline.py::TestZlineWarp::test_model_env_flag_equivalence",
+    "test_quantize.py::TestRegistrarQuantized::test_lazy_calibration_and_consistency",
+    "test_train.py::test_smoke_train_loss_decreases",
+    "test_quantize.py::TestRegistrarQuantized::test_sidecar_autoload",
+    "test_quantize.py::TestCalibration::test_sidecar_roundtrip",
+    "test_train.py::test_dp_step_equals_single_device_step",
+    "test_train.py::test_dp_sharding_over_virtual_mesh",
+    "test_quantize.py::TestRegistrarQuantized::test_lazy_calibration_persists_sidecar",
+    "test_synth.py::test_preintegrated_svf_path_matches_in_engine_draw",
+    "test_train.py::test_checkpoint_roundtrip",
+    "test_model.py::test_shape_agnostic_weights",
+    "test_ops.py::TestWarpModeEquivalence::test_gradient_equivalence",
+    "test_train.py::test_grad_res2_tracks_fullres_grad",
+    "test_train.py::test_zero_border_training_path",
+    "test_ops.py::TestWarpBatch::test_batch_squeeze_and_gradients",
+    "test_warp_onehot.py::test_gradient_matches_dense",
+    "test_quantize.py::TestRegistrarQuantized::test_quant_calibrate_cli_writes_sidecar",
+    "test_pipeline.py::test_run_batch_with_config_and_opt_affine",
+    "test_train.py::test_svf_int_res4_compose_bridge_matches_full",
+    "test_h5_keras.py::test_import_published_architecture_widths",
+    "test_warp_zline.py::TestZlineWarp::test_body_matches_exactly_on_larger_flows",
+    "test_ops.py::TestChunkedWarp::test_chunked_gradients_match",
+    "test_train.py::test_loaded_noncontiguous_labels_are_remapped",
+    "test_infer.py::TestRegisterE2E::test_pair_registration_whole_vol",
+    "test_pool.py::test_grad_matches_nn_max_pool_without_ties",
+    "test_ops.py::TestWarpBatch::test_compose_fields_batch_matches_unbatched",
+    "test_infer.py::TestRegisterE2E::test_register_subvol",
+    "test_quantize.py::TestCalibration::test_default_threshold_skips_thin_nets",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        nodeid = item.nodeid.split("/")[-1]  # strip directory prefix
+        for suffix in SLOW_TESTS:
+            if nodeid == suffix or nodeid.startswith(suffix + "["):
+                item.add_marker(pytest.mark.slow)
+                break
