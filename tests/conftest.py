@@ -63,6 +63,53 @@ SLOW_TESTS = (
     "test_ops.py::TestWarpBatch::test_compose_fields_batch_matches_unbatched",
     "test_infer.py::TestRegisterE2E::test_register_subvol",
     "test_quantize.py::TestCalibration::test_default_threshold_skips_thin_nets",
+    "test_conv_pool.py::TestKernel::test_matches_reference",
+    "test_conv_pool.py::TestKernel::test_negative_values_leaky",
+    "test_h5_import.py::test_imported_params_apply",
+    "test_h5_keras.py::test_import_real_keras_h5_svf_parity",
+    "test_infer.py::TestCascadeSubvol::test_cascade_subvol_linear",
+    "test_infer.py::TestCascadeSubvol::test_cascade_subvol_nearest_repreprocess",
+    "test_infer.py::TestGenApplyDefField::test_cli",
+    "test_infer.py::TestRegisterE2E::test_cascade_whole_vol",
+    "test_infer.py::TestRegisterE2E::test_identity_params_near_identity_registration",
+    "test_infer.py::TestRegisterE2E::test_register_nearest",
+    "test_model.py::TestSvfSmoothing::test_model_smoothing_equals_manual",
+    "test_model.py::test_identity_at_init",
+    "test_onecpu.py::test_env_applied_before_backend_init",
+    "test_ops.py::TestChunkedWarp::test_chunked_matches_gather8",
+    "test_ops.py::TestFusedUpWarp::test_chunked_branch_matches",
+    "test_ops.py::TestFusedUpWarp::test_gradient_matches_explicit",
+    "test_ops.py::TestFusedUpWarp::test_model_flag_equivalence",
+    "test_ops.py::TestNearestPacked::test_int8_label_payload",
+    "test_ops.py::TestWarpModeEquivalence::test_value_equivalence",
+    "test_parallel.py::test_cli_space_sharded_outputs_identical",
+    "test_parallel.py::test_sharded_registrar_chunked_equals_one_shot",
+    "test_pipeline.py::test_run_batch_jobs4_threadsafe",
+    "test_pipeline.py::test_run_batch_two_step",
+    "test_quantize.py::TestCalibration::test_scale_structure_and_running_max",
+    "test_quantize.py::TestInt8ConvExact::test_tolerance_random_block",
+    "test_quantize.py::TestRegistrarQuantized::test_quant_calibrate_cli_thin_net_errors",
+    "test_resample.py::TestObliqueDeviceSpline::test_far_outside_coordinates",
+    "test_resample.py::TestObliqueDeviceSpline::test_rotation_golden",
+    "test_synth.py::TestBlurModes::test_blur_mode_env_switch",
+    "test_synth.py::TestBlurModes::test_shifts_matches_convolve",
+    "test_synth.py::TestLabelMaps::test_generate_label_map",
+    "test_synth.py::TestMultiScaleVelRes::test_draw_svf_small_matches_engine_keys",
+    "test_synth.py::TestMultiScaleVelRes::test_engine_accepts_tuple_vel_res",
+    "test_synth.py::TestPerlin::test_std_bounds",
+    "test_synth.py::test_perlin_fixed_stds",
+    "test_train.py::test_svf_int_res4_train_step_runs",
+    "test_train.py::test_vel_res_list_train_step_runs",
+    "test_warp_onehot.py::test_matches_dense_onehot_warp",
+    "test_warp_onehot.py::test_soft_hard_shared_gather",
+    "test_warp_zline.py::TestZlineCompose::test_compose_matches_exact",
+    "test_warp_zline.py::TestZlineCompose::test_compose_rough_phi2_falls_back",
+    "test_warp_zline.py::TestZlineWarp::test_batched_matches_per_element",
+    "test_warp_zline.py::TestZlineWarp::test_bf16_payload_tolerance",
+    "test_warp_zline.py::TestZlineWarp::test_edge_clamping",
+    "test_warp_zline.py::TestZlineWarp::test_fast_path_engages_and_matches",
+    "test_warp_zline.py::TestZlineWarp::test_grad_flows_through_fast_path",
+    "test_warp_zline.py::TestZlineWarp::test_small_z_returns_fallback",
 )
 
 
