@@ -31,9 +31,17 @@ tests/test_resample.py oblique goldens):
   * mode='constant' (cval=0): mirror-mode prefilter, mirror tap fold, and
     any output whose coordinate leaves [0, n-1] on some axis is cval.
 
-Host ``scipy.ndimage`` remains the fallback for other modes / cval != 0 and
-under ``MMREG_SPLINE_DEVICE=0`` (``MMREG_SPLINE_OBLIQUE=0`` pins just the
-oblique case to host).
+cval != 0 rides both device paths by exact linearity (round-5 VERDICT item
+5): scipy's 'constant' output is the cval=0 result everywhere the input
+coordinate stays in-bounds and exactly cval outside (probed bit-for-bit,
+orders 2/3) — so the device adds ``cval * outside_mask``. Oblique maps whose
+coefficient volume exceeds the TPU gather padded-bytes budget are slabbed
+along x from an exact host-side plan (:func:`_oblique_slab_plan`) instead of
+falling to host.
+
+Host ``scipy.ndimage`` remains the fallback only for other boundary modes,
+strong rotations no slab plan can cover, and under ``MMREG_SPLINE_DEVICE=0``
+(``MMREG_SPLINE_OBLIQUE=0`` pins just the oblique case to host).
 """
 
 from __future__ import annotations
@@ -181,36 +189,36 @@ def _fold_tap(idx, n: int, ext: str):
     return jnp.where(m >= n, p - m, m)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("out_shape", "order", "mode", "cval", "npad")
-)
-def _oblique_spline_jit(volj, P0, P1, P2, Mj, out_shape, order, mode, cval, npad):
-    # prefilter: three exact 1-D operators, channels ride the ellipsis
-    hi = jax.lax.Precision.HIGHEST
-    c = jnp.einsum("ai,ijk...->ajk...", P0, volj, precision=hi)
-    c = jnp.einsum("bj,ajk...->abk...", P1, c, precision=hi)
-    c = jnp.einsum("ck,abk...->abc...", P2, c, precision=hi)
+def _affine_coords_axis(ox, oy, oz, Mj, a, npad):
+    """Input-voxel coordinate along input axis ``a`` for output voxels
+    (ox, oy, oz), + prefilter pad. PURE ELEMENTWISE multiply-adds, in this
+    exact order: (1) float32 matmuls round through bf16 on the TPU MXU
+    (half-voxel coordinate error at 192-scale), (2) the slab planner
+    (:func:`_oblique_slab_plan`) recomputes the same expression in numpy
+    float32 and relies on bit-identical results to bound tap indices."""
+    return (ox * Mj[a, 0] + oy * Mj[a, 1]) + (oz * Mj[a, 2] + (Mj[a, 3] + npad))
 
-    grid = jnp.stack(
-        jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32) for s in out_shape],
-                     indexing="ij"),
-        axis=-1,
-    )
-    coords = grid @ Mj[:3, :3].T + Mj[:3, 3]  # input-voxel coords, (X,Y,Z,3)
 
-    nx, ny, nz = c.shape[:3]
-    ext = "clamp" if mode == "nearest" else "mirror"
+def _spline_gather_accum(cf, src_shape, coords_a, out_shape, order, ext,
+                         slab_start=None, nx_full=None):
+    """Accumulate the (order+1)^3-tap B-spline sum from flattened
+    coefficients ``cf`` ((N, C); N = prod(src_shape)). ``coords_a`` are the
+    three (already prefilter-padded) coordinate arrays. When ``slab_start``
+    is given, ``cf`` is an x-slab of a ``nx_full``-plane volume: x-taps are
+    boundary-folded in the FULL index space and then rebased into the slab
+    (the clip is a safety net only — the host-side plan guarantees folded
+    taps land inside the slab)."""
+    nx, ny, nz = src_shape
     starts, weights = [], []
     for a in range(3):
-        s, w = _bspline_tap_weights(coords[..., a] + npad, order)
+        s, w = _bspline_tap_weights(coords_a[a], order)
         starts.append(s)
         weights.append(w)
-
-    channels = c.ndim == 4
-    cf = c.reshape(nx * ny * nz, -1)  # (N, C or 1)
     out = jnp.zeros((*out_shape, cf.shape[1]), cf.dtype)
     for i in range(order + 1):
-        ix = _fold_tap(starts[0] + i, nx, ext)
+        ix = _fold_tap(starts[0] + i, nx if slab_start is None else nx_full, ext)
+        if slab_start is not None:
+            ix = jnp.clip(ix - slab_start, 0, nx - 1)
         wx = weights[0][..., i]
         for j in range(order + 1):
             iy = _fold_tap(starts[1] + j, ny, ext)
@@ -221,11 +229,163 @@ def _oblique_spline_jit(volj, P0, P1, P2, Mj, out_shape, order, mode, cval, npad
                 val = jnp.take(cf, flat.reshape(-1), axis=0)
                 val = val.reshape(*flat.shape, cf.shape[1])
                 out = out + (wxy * weights[2][..., k])[..., None] * val
+    return out
+
+
+def _prefilter3(volj, P0, P1, P2):
+    # prefilter: three exact 1-D operators, channels ride the ellipsis
+    hi = jax.lax.Precision.HIGHEST
+    c = jnp.einsum("ai,ijk...->ajk...", P0, volj, precision=hi)
+    c = jnp.einsum("bj,ajk...->abk...", P1, c, precision=hi)
+    return jnp.einsum("ck,abk...->abc...", P2, c, precision=hi)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_shape", "order", "mode", "cval", "npad")
+)
+def _oblique_spline_jit(volj, P0, P1, P2, Mj, out_shape, order, mode, cval, npad):
+    c = _prefilter3(volj, P0, P1, P2)
+
+    ox, oy, oz = jnp.meshgrid(
+        *[jnp.arange(s, dtype=jnp.float32) for s in out_shape], indexing="ij"
+    )
+    coords = [_affine_coords_axis(ox, oy, oz, Mj, a, npad) for a in range(3)]
+
+    nx, ny, nz = c.shape[:3]
+    ext = "clamp" if mode == "nearest" else "mirror"
+    channels = c.ndim == 4
+    cf = c.reshape(nx * ny * nz, -1)  # (N, C or 1)
+    out = _spline_gather_accum(cf, (nx, ny, nz), coords, out_shape, order, ext)
     if mode == "constant":
-        in_dims = jnp.asarray(volj.shape[:3], jnp.float32) - 1.0
-        inside = jnp.all((coords >= 0.0) & (coords <= in_dims), axis=-1)
+        inside = jnp.ones(out_shape, bool)
+        for a in range(3):
+            ca = coords[a] - npad
+            inside &= (ca >= 0.0) & (ca <= volj.shape[a] - 1.0)
         out = jnp.where(inside[..., None], out, cval)
     return out if channels else out[..., 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_shape", "order", "mode", "cval", "npad", "cx", "slab"),
+)
+def _oblique_spline_slabbed_jit(
+    volj, P0, P1, P2, Mj, slab_starts, out_shape, order, mode, cval, npad, cx, slab
+):
+    """Slabbed variant for sources over the TPU gather-padded-bytes budget:
+    output-x chunks of ``cx`` rows gather from a ``dynamic_slice`` of the
+    coefficient volume ``slab`` planes wide (start per chunk from the exact
+    host-side plan), so each gather source stays under the cliff — the same
+    lever as the chunked packed warp (`ops/warp.py`)."""
+    c = _prefilter3(volj, P0, P1, P2)
+    if c.ndim == 3:
+        c = c[..., None]
+    nx, ny, nz = c.shape[:3]
+    n_chunks = slab_starts.shape[0]
+    oy, oz = jnp.meshgrid(
+        *[jnp.arange(s, dtype=jnp.float32) for s in out_shape[1:]], indexing="ij"
+    )
+    ext = "clamp" if mode == "nearest" else "mirror"
+
+    def chunk_fn(k):
+        s0 = slab_starts[k]
+        sl = jax.lax.dynamic_slice(c, (s0, 0, 0, 0), (slab, ny, nz, c.shape[3]))
+        ox = (k * cx + jnp.arange(cx, dtype=jnp.int32)).astype(jnp.float32)
+        ox3 = ox[:, None, None]
+        coords = [
+            _affine_coords_axis(ox3, oy[None], oz[None], Mj, a, npad)
+            for a in range(3)
+        ]
+        out = _spline_gather_accum(
+            sl.reshape(slab * ny * nz, -1), (slab, ny, nz), coords,
+            (cx, *out_shape[1:]), order, ext, slab_start=s0, nx_full=nx,
+        )
+        if mode == "constant":
+            inside = jnp.ones((cx, *out_shape[1:]), bool)
+            for a, ca in enumerate(coords):
+                cg = ca - npad
+                inside &= (cg >= 0.0) & (cg <= volj.shape[a] - 1.0)
+            out = jnp.where(inside[..., None], out, cval)
+        return out
+
+    # recompute each slab's gathers in the backward of downstream consumers
+    # instead of keeping 64 gathered blocks live (HBM; same rationale as
+    # ops/warp.py's chunked body)
+    chunks = jax.lax.map(jax.checkpoint(chunk_fn), jnp.arange(n_chunks))
+    out = chunks.reshape(n_chunks * cx, *out_shape[1:], c.shape[3])
+    out = out[: out_shape[0]]
+    return out if volj.ndim == 4 else out[..., 0]
+
+
+def _fold_np(idx, n: int, ext: str):
+    """numpy twin of :func:`_fold_tap` (the slab planner folds host-side)."""
+    if ext == "clamp":
+        return np.clip(idx, 0, n - 1)
+    if n == 1:
+        return np.zeros_like(idx)
+    p = 2 * n - 2
+    m = np.mod(idx, p)
+    return np.where(m >= n, p - m, m)
+
+
+def _oblique_slab_plan(M, out_shape, src_shape_c, order, mode, npad, budget):
+    """Slab plan (chunk rows CX, slab planes S, per-chunk slab starts) for an
+    over-budget oblique spline gather, or None if no slab fits the budget
+    (strong rotations mix a wide input-x band into every output chunk).
+
+    EXACT, not an envelope: recomputes the device's float32 x-coordinates in
+    numpy (bit-identical elementwise expression, see
+    :func:`_affine_coords_axis`), derives the boundary-folded tap range per
+    output-x row, and adds ±2 planes of slack for any residual last-ulp
+    divergence between host and device floor()."""
+    nxc, nyc, nzc = (int(s) for s in src_shape_c)
+    plane_bytes = nyc * nzc * 128 * 4  # gather source rows pad to 128 lanes
+    s_max = int(budget // plane_bytes)
+    if s_max < 2 * (order + 2) or s_max >= nxc:
+        return None
+    OX, OY, OZ = out_shape
+    M32 = np.asarray(M, np.float32)
+    ox = np.arange(OX, dtype=np.float32)[:, None, None]
+    oy = np.arange(OY, dtype=np.float32)[None, :, None]
+    oz = np.arange(OZ, dtype=np.float32)[None, None, :]
+    t = (ox * M32[0, 0] + oy * M32[0, 1]) + (
+        oz * M32[0, 2] + (M32[0, 3] + np.float32(npad)))
+    if order % 2:
+        start = np.floor(t) - (order - 1) // 2
+    else:
+        start = np.floor(t + 0.5) - order // 2
+    start = start.astype(np.int32)
+    ext = "clamp" if mode == "nearest" else "mirror"
+    row_lo = np.full(OX, np.iinfo(np.int32).max, np.int32)
+    row_hi = np.full(OX, np.iinfo(np.int32).min, np.int32)
+    for k in range(order + 1):
+        f = _fold_np(start + k, nxc, ext)
+        row_lo = np.minimum(row_lo, f.min(axis=(1, 2)))
+        row_hi = np.maximum(row_hi, f.max(axis=(1, 2)))
+    # largest CX whose worst chunk (folded range + slack) fits s_max
+    def spans(cx):
+        n_chunks = -(-OX // cx)
+        lo = np.array([row_lo[c * cx:(c + 1) * cx].min() for c in range(n_chunks)])
+        hi = np.array([row_hi[c * cx:(c + 1) * cx].max() for c in range(n_chunks)])
+        lo = np.maximum(lo - 2, 0)
+        hi = np.minimum(hi + 2, nxc - 1)
+        return lo, hi - lo + 1
+    best = None
+    lo_cx, hi_cx = 1, OX
+    while lo_cx <= hi_cx:
+        mid = (lo_cx + hi_cx) // 2
+        lo, sp = spans(mid)
+        if sp.max() <= s_max:
+            best = (mid, lo)
+            lo_cx = mid + 1
+        else:
+            hi_cx = mid - 1
+    if best is None:
+        return None
+    cx, lo = best
+    S = min(int(spans(cx)[1].max()), nxc)
+    starts = np.clip(lo, 0, nxc - S).astype(np.int32)
+    return cx, S, starts
 
 
 def _device_spline_resample_oblique(vol, M, out_shape, mode, cval, order):
@@ -233,40 +393,63 @@ def _device_spline_resample_oblique(vol, M, out_shape, mode, cval, order):
     prefilter via extracted 1-D operators + jitted 64-tap (order 3) sampler."""
     if mode not in ("nearest", "constant"):
         return None
+    if mode == "nearest":
+        cval = 0.0  # scipy ignores cval outside 'constant' mode (probed)
     if os.environ.get("MMREG_SPLINE_OBLIQUE", "1") == "0":
         return None
+    out_shape = tuple(int(s) for s in out_shape)
+    npad = _SCIPY_SPLINE_NPAD if mode == "nearest" else 0
+    src_c = tuple(int(s) + 2 * npad for s in vol.shape[:3])
     # TPU gather guard: the sampler's (N, C) source pads its minor dim to 128
     # lanes (CLAUDE.md / PERF.md round 2b), so its PADDED footprint is
     # N*128*4 B — 3.6 GB at 192³, far over the ~500 MB gather cliff (64 such
-    # gathers). Fall back to host scipy (reference parity,
-    # `bids_registration.py:25-123`) when it would not fit; the axis-aligned
-    # device path — every resample the shipped pipelines perform — is
-    # unaffected.
-    if jax.default_backend() != "cpu":
-        budget = float(os.environ.get("MMREG_GATHER_SRC_BUDGET", 480e6))
-        n = int(np.prod(vol.shape[:3]))
-        if n * 128 * 4 > budget:
-            return None
-    out_shape = tuple(int(s) for s in out_shape)
-    npad = _SCIPY_SPLINE_NPAD if mode == "nearest" else 0
+    # gathers). Over budget, slab the coefficient volume along x (exact
+    # host-side plan, same lever as the chunked packed warp); only when no
+    # slab fits (strong rotation) fall back to host scipy (reference parity,
+    # `bids_registration.py:25-123`). The axis-aligned device path — every
+    # resample the shipped pipelines perform — is unaffected.
+    plan = None
+    env_budget = os.environ.get("MMREG_GATHER_SRC_BUDGET")
+    if jax.default_backend() != "cpu" or env_budget is not None:
+        budget = float(env_budget) if env_budget is not None else 480e6
+        if int(np.prod(src_c)) * 128 * 4 > budget:
+            plan = _oblique_slab_plan(M, out_shape, src_c, order, mode, npad,
+                                      budget)
+            if plan is None:
+                return None
     Ps = [
         jnp.asarray(_spline_prefilter_operator(int(vol.shape[i]), order, mode),
                     jnp.float32)
         for i in range(3)
     ]
-    out = _oblique_spline_jit(
-        jnp.asarray(np.asarray(vol, np.float32)), *Ps,
-        jnp.asarray(M, jnp.float32), out_shape, order, mode, float(cval), npad,
-    )
+    volj = jnp.asarray(np.asarray(vol, np.float32))
+    Mj = jnp.asarray(M, jnp.float32)
+    if plan is None:
+        out = _oblique_spline_jit(volj, *Ps, Mj, out_shape, order, mode,
+                                  float(cval), npad)
+    else:
+        cx, S, starts = plan
+        out = _oblique_spline_slabbed_jit(
+            volj, *Ps, Mj, jnp.asarray(starts), out_shape, order, mode,
+            float(cval), npad, cx, S,
+        )
     return np.asarray(out, np.float64)
 
 
 def _device_spline_resample(vol, M, out_shape, mode, cval, order: int = 3):
     """Device path for order>=2 spline resampling: separable exact operators
     when the map is a scaled permutation, 64-tap sampler otherwise; returns
-    None when inapplicable (unsupported mode, cval != 0, disabled by env)."""
-    if cval != 0.0 or os.environ.get("MMREG_SPLINE_DEVICE", "1") == "0":
+    None when inapplicable (unsupported mode, disabled by env).
+
+    cval != 0 rides the cval=0 result by exact linearity (probed vs scipy
+    1.17: ``out(v, cval) = out(v, 0) + cval * outside_mask`` bit-for-bit,
+    where the mask is 1 wherever the input-voxel coordinate leaves
+    ``[0, n-1]`` on any axis — scipy forces those outputs to cval and keeps
+    mirror-fold interpolation everywhere inside)."""
+    if os.environ.get("MMREG_SPLINE_DEVICE", "1") == "0":
         return None
+    if mode == "nearest":
+        cval = 0.0  # scipy ignores cval outside 'constant' mode (probed)
     sp = _scaled_permutation(np.asarray(M[:3, :3], np.float64))
     if sp is None:
         return _device_spline_resample_oblique(vol, M, out_shape, mode, cval, order)
@@ -288,7 +471,22 @@ def _device_spline_resample(vol, M, out_shape, mode, cval, order: int = 3):
     out = _apply_axis_operators_jit(
         jnp.asarray(np.asarray(vol, np.float32)), *Ws, axes_order
     )
-    return np.asarray(out, np.float64)
+    out = np.asarray(out, np.float64)
+    if cval != 0.0:
+        # separable map -> separable outside mask: output axis sigma[i]
+        # samples input axis i at scales[i]*o + M[i,3]; W's rows are already
+        # exactly zero there (extracted with cval=0), so adding cval on the
+        # mask reproduces scipy for any cval.
+        inside = np.ones((), bool)
+        for q in range(3):
+            i = sigma.index(q)
+            pos = scales[i] * np.arange(out_shape[q], dtype=np.float64) + float(M[i, 3])
+            in_q = (pos >= 0.0) & (pos <= vol.shape[i] - 1.0)
+            inside = inside & in_q.reshape((-1,) + (1,) * (2 - q))
+        if np.ndim(vol) == 4:
+            inside = inside[..., None]
+        out = np.where(inside, out, cval)
+    return out
 
 
 def affine_resample(

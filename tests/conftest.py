@@ -91,6 +91,9 @@ SLOW_TESTS = (
     "test_quantize.py::TestRegistrarQuantized::test_quant_calibrate_cli_thin_net_errors",
     "test_resample.py::TestObliqueDeviceSpline::test_far_outside_coordinates",
     "test_resample.py::TestObliqueDeviceSpline::test_rotation_golden",
+    "test_resample.py::TestObliqueSlab::test_field_channels_through_slab",
+    "test_resample.py::TestObliqueSlab::test_slab_matches_scipy",
+    "test_resample.py::TestSplineCval::test_oblique_cval",
     "test_synth.py::TestBlurModes::test_blur_mode_env_switch",
     "test_synth.py::TestBlurModes::test_shifts_matches_convolve",
     "test_synth.py::TestLabelMaps::test_generate_label_map",

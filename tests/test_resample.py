@@ -195,6 +195,140 @@ class TestObliqueDeviceSpline:
         assert R._device_spline_resample(vol, rot, (6, 6, 6), "mirror", 0.0) is None
 
 
+class TestSplineCval:
+    """cval != 0 through BOTH device spline paths (round-5 VERDICT item 5):
+    scipy's 'constant' output is exactly linear in cval — the cval=0 result
+    plus cval on the outside-coordinate mask (probed bit-for-bit vs scipy
+    1.17, orders 2/3) — so the device paths no longer bail to host scipy."""
+
+    def _check(self, vol, out_aff, out_shape, mode, cval, order):
+        from multimodal_registration_tpu.ops import resample as R
+
+        interp = {2: "spline2", 3: "spline"}[order]
+        M = out_aff
+        dev = R._device_spline_resample(vol, M, out_shape, mode, cval, order)
+        assert dev is not None, "expected the device path to engage"
+        got = affine_resample(vol, np.eye(4), out_aff, out_shape, interp,
+                              mode=mode, cval=cval)
+
+        def _one(v3):
+            return affine_transform(
+                np.asarray(v3, np.float64), M[:3, :3], offset=M[:3, 3],
+                output_shape=out_shape, order=order, mode=mode, cval=cval)
+
+        ref = (np.stack([_one(vol[..., c]) for c in range(vol.shape[3])], -1)
+               if vol.ndim == 4 else _one(vol))
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+        np.testing.assert_allclose(dev, ref, atol=1e-4)
+
+    def test_separable_cval(self):
+        rng = np.random.default_rng(21)
+        vol = rng.normal(size=(14, 12, 10))
+        out_aff = np.diag([2.0, 0.5, 1.0, 1.0])
+        out_aff[:3, 3] = [-1.0, 0.5, 4.0]  # pushes coordinates outside
+        for order in (2, 3):
+            self._check(vol, out_aff, (16, 13, 11), "constant", 3.7, order)
+
+    def test_separable_cval_field_channels(self):
+        rng = np.random.default_rng(22)
+        field = rng.normal(size=(10, 12, 9, 3))
+        out_aff = np.diag([1.4, 0.8, 1.1, 1.0])
+        out_aff[:3, 3] = [0.7, 2.0, -12.0]
+        self._check(field, out_aff, (9, 10, 11), "constant", -1.5, 3)
+
+    def test_oblique_cval(self):
+        rng = np.random.default_rng(23)
+        vol = rng.normal(size=(12, 11, 13))
+        c, s = np.cos(0.3), np.sin(0.3)
+        rot = np.eye(4)
+        rot[:2, :2] = [[c, -s], [s, c]]
+        rot[:3, 3] = [6.0, -3.5, 0.3]
+        for order in (2, 3):
+            self._check(vol, rot, (12, 11, 13), "constant", 2.25, order)
+
+    def test_nearest_ignores_cval(self):
+        # scipy ignores cval outside 'constant' mode (probed); the device
+        # path must too instead of bailing to host
+        rng = np.random.default_rng(24)
+        vol = rng.normal(size=(9, 8, 7))
+        out_aff = np.diag([1.5, 1.0, 0.9, 1.0])
+        out_aff[:3, 3] = [-2.0, 1.0, 3.0]
+        self._check(vol, out_aff, (9, 9, 9), "nearest", 7.0, 3)
+
+
+class TestObliqueSlab:
+    """Over-budget oblique spline gathers slab the coefficient volume along x
+    from an exact host-side plan (round-5 VERDICT item 5) instead of falling
+    back to host scipy; only strong rotations no slab can cover still do."""
+
+    def _rot(self, deg):
+        th = np.deg2rad(deg)
+        rot = np.eye(4)
+        c, s = np.cos(th), np.sin(th)
+        rot[:2, :2] = [[c, -s], [s, c]]
+        return rot
+
+    def test_slab_matches_scipy(self, monkeypatch):
+        from multimodal_registration_tpu.ops import resample as R
+
+        rng = np.random.default_rng(25)
+        vol = rng.normal(size=(40, 24, 20))
+        out_aff = self._rot(6.0)
+        out_aff[:3, 3] = [-1.5, 0.8, 0.3]
+        out_shape = (40, 24, 20)
+        for mode, cval, npad in (("constant", 2.2, 0), ("nearest", 0.0, 12)):
+            nyc, nzc = 24 + 2 * npad, 20 + 2 * npad
+            budget = 14 * nyc * nzc * 128 * 4  # ~14 slab planes
+            plan = R._oblique_slab_plan(
+                out_aff, out_shape, (40 + 2 * npad, nyc, nzc), 3, mode, npad,
+                budget)
+            assert plan is not None and plan[1] <= 14
+            monkeypatch.setenv("MMREG_GATHER_SRC_BUDGET", str(budget))
+            got = affine_resample(vol, np.eye(4), out_aff, out_shape, "spline",
+                                  mode=mode, cval=cval)
+            monkeypatch.delenv("MMREG_GATHER_SRC_BUDGET")
+            M = out_aff
+            ref = affine_transform(vol, M[:3, :3], offset=M[:3, 3],
+                                   output_shape=out_shape, order=3, mode=mode,
+                                   cval=cval)
+            np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    def test_field_channels_through_slab(self, monkeypatch):
+        rng = np.random.default_rng(26)
+        field = rng.normal(size=(40, 24, 20, 3))
+        out_aff = self._rot(4.0)
+        out_shape = (40, 24, 20)
+        monkeypatch.setenv("MMREG_GATHER_SRC_BUDGET",
+                           str(14 * 24 * 20 * 128 * 4))
+        got = affine_resample(field, np.eye(4), out_aff, out_shape, "spline",
+                              mode="constant", cval=1.1)
+        M = out_aff
+        ref = np.stack([
+            affine_transform(field[..., c], M[:3, :3], offset=M[:3, 3],
+                             output_shape=out_shape, order=3, mode="constant",
+                             cval=1.1) for c in range(3)], -1)
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    def test_strong_rotation_falls_to_host(self, monkeypatch):
+        from multimodal_registration_tpu.ops import resample as R
+
+        vol = np.random.default_rng(27).normal(size=(40, 24, 20))
+        out_aff = self._rot(60.0)
+        budget = 8 * 24 * 20 * 128 * 4
+        assert R._oblique_slab_plan(out_aff, (40, 24, 20), (40, 24, 20), 3,
+                                    "constant", 0, budget) is None
+        monkeypatch.setenv("MMREG_GATHER_SRC_BUDGET", str(budget))
+        assert R._device_spline_resample(vol, out_aff, (40, 24, 20),
+                                         "constant", 0.0, 3) is None
+        # the public API still answers — host scipy, hence exact
+        got = affine_resample(vol, np.eye(4), out_aff, (40, 24, 20), "spline",
+                              mode="constant")
+        ref = affine_transform(vol, out_aff[:3, :3], offset=out_aff[:3, 3],
+                               output_shape=(40, 24, 20), order=3,
+                               mode="constant", cval=0.0)
+        np.testing.assert_allclose(got, ref, atol=0)
+
+
 def test_resample_nib_mm():
     # 2 mm voxels resampled to 1 mm doubles the grid
     vol = np.random.default_rng(4).normal(size=(8, 8, 8))
