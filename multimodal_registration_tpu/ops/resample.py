@@ -35,12 +35,14 @@ cval != 0 rides both device paths by exact linearity (round-5 VERDICT item
 5): scipy's 'constant' output is the cval=0 result everywhere the input
 coordinate stays in-bounds and exactly cval outside (probed bit-for-bit,
 orders 2/3) — so the device adds ``cval * outside_mask``. Oblique maps whose
-coefficient volume exceeds the TPU gather padded-bytes budget are slabbed
-along x from an exact host-side plan (:func:`_oblique_slab_plan`) instead of
-falling to host.
+coefficient volume exceeds the TPU gather padded-bytes budget CAN be slabbed
+along x from an exact host-side plan (:func:`_oblique_slab_plan`,
+``MMREG_SPLINE_SLAB=1``) — correct on hardware but measured 0.41× host scipy
+at 192³ (PERF.md round 5), so host remains the default at that size.
 
-Host ``scipy.ndimage`` remains the fallback only for other boundary modes,
-strong rotations no slab plan can cover, and under ``MMREG_SPLINE_DEVICE=0``
+Host ``scipy.ndimage`` remains the fallback for other boundary modes,
+over-budget oblique maps (unless ``MMREG_SPLINE_SLAB=1``), strong rotations
+no slab plan can cover, and under ``MMREG_SPLINE_DEVICE=0``
 (``MMREG_SPLINE_OBLIQUE=0`` pins just the oblique case to host).
 """
 
@@ -413,6 +415,14 @@ def _device_spline_resample_oblique(vol, M, out_shape, mode, cval, order):
     if jax.default_backend() != "cpu" or env_budget is not None:
         budget = float(env_budget) if env_budget is not None else 480e6
         if int(np.prod(src_c)) * 128 * 4 > budget:
+            # Measured on hardware (benchmarks/oblique_slab_results.json,
+            # 192³/4°): the slab path is CORRECT (1.7e-4 vs scipy) but
+            # 0.41× host scipy — 48 chunks × 64 taps = 3072 sequential
+            # gathers whose padded outputs dominate. Host stays the default
+            # at this size; MMREG_SPLINE_SLAB=1 opts into the device slabs
+            # (e.g. to keep the work off a saturated host).
+            if os.environ.get("MMREG_SPLINE_SLAB", "0") != "1":
+                return None
             plan = _oblique_slab_plan(M, out_shape, src_c, order, mode, npad,
                                       budget)
             if plan is None:

@@ -284,6 +284,7 @@ class TestObliqueSlab:
                 budget)
             assert plan is not None and plan[1] <= 14
             monkeypatch.setenv("MMREG_GATHER_SRC_BUDGET", str(budget))
+            monkeypatch.setenv("MMREG_SPLINE_SLAB", "1")
             got = affine_resample(vol, np.eye(4), out_aff, out_shape, "spline",
                                   mode=mode, cval=cval)
             monkeypatch.delenv("MMREG_GATHER_SRC_BUDGET")
@@ -300,6 +301,7 @@ class TestObliqueSlab:
         out_shape = (40, 24, 20)
         monkeypatch.setenv("MMREG_GATHER_SRC_BUDGET",
                            str(14 * 24 * 20 * 128 * 4))
+        monkeypatch.setenv("MMREG_SPLINE_SLAB", "1")
         got = affine_resample(field, np.eye(4), out_aff, out_shape, "spline",
                               mode="constant", cval=1.1)
         M = out_aff
@@ -318,6 +320,12 @@ class TestObliqueSlab:
         assert R._oblique_slab_plan(out_aff, (40, 24, 20), (40, 24, 20), 3,
                                     "constant", 0, budget) is None
         monkeypatch.setenv("MMREG_GATHER_SRC_BUDGET", str(budget))
+        # over budget WITHOUT MMREG_SPLINE_SLAB=1 -> host (the measured
+        # default, PERF.md round 5), regardless of rotation strength
+        assert R._device_spline_resample(vol, out_aff, (40, 24, 20),
+                                         "constant", 0.0, 3) is None
+        # opted in, the 60-degree rotation has no feasible plan -> still host
+        monkeypatch.setenv("MMREG_SPLINE_SLAB", "1")
         assert R._device_spline_resample(vol, out_aff, (40, 24, 20),
                                          "constant", 0.0, 3) is None
         # the public API still answers — host scipy, hence exact
