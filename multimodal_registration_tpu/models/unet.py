@@ -32,6 +32,23 @@ import jax.numpy as jnp
 from multimodal_registration_tpu.ops.pool import max_pool_2x
 
 
+def _conv2d_decomp_enabled() -> bool:
+    """Lower 3x3x3 convs as three z-tap Conv2Ds (`ops/conv3.py::conv3d_tap2d`).
+
+    XLA's Conv3D reaches only 10-16% of bf16 MXU peak at 64-channel widths on
+    the probed TPU backend while its Conv2D path tiles far better — measured
+    1.6-1.7x per-conv at the hot 96^3 shapes, bit-exact
+    (benchmarks/conv2d_decomp_probe.py, PERF.md round 5). MMREG_CONV2D_DECOMP:
+    "1" forces on, "0" forces off, unset = auto (on for TPU backends, off on
+    CPU where XLA's direct Conv3D is the better lowering)."""
+    import jax
+
+    v = os.environ.get("MMREG_CONV2D_DECOMP", "")
+    if v in ("0", "1"):
+        return v == "1"
+    return jax.default_backend() not in ("cpu",)
+
+
 def _fuse_first_conv_enabled() -> bool:
     """Fused first-conv+pool Pallas kernel opt-in (MMREG_FUSED_FIRST_CONV=1).
 
@@ -92,6 +109,24 @@ class ConvBlock(nn.Module):
                     "with a 'quant' collection (models/quantize.py::calibrate_scales)"
                 )
             return self._int8_conv(conv, x)
+        if (
+            not self.fused_pool
+            and x.ndim == 5
+            and not self.is_initializing()
+            and _conv2d_decomp_enabled()
+        ):
+            # three-Conv2D lowering of the same conv (see _conv2d_decomp_enabled);
+            # params materialize identically via a 1-voxel probe call (DCE'd)
+            from multimodal_registration_tpu.ops.conv3 import conv3d_tap2d
+
+            _ = conv(x[:, :1, :1, :1, :])
+            k = conv.variables["params"]["kernel"]
+            b = conv.variables["params"]["bias"]
+            y = conv3d_tap2d(
+                x.astype(self.dtype), k.astype(self.dtype), tap_axis=3
+            )
+            y = y + b.astype(y.dtype)
+            return nn.leaky_relu(y, negative_slope=0.2).astype(self.dtype)
         if self.fused_pool:
             from multimodal_registration_tpu.ops.pallas.conv_pool import (
                 conv3_lrelu_pool,
