@@ -37,16 +37,29 @@ def _conv2d_decomp_enabled() -> bool:
 
     XLA's Conv3D reaches only 10-16% of bf16 MXU peak at 64-channel widths on
     the probed TPU backend while its Conv2D path tiles far better — measured
-    1.6-1.7x per-conv at the hot 96^3 shapes, bit-exact
-    (benchmarks/conv2d_decomp_probe.py, PERF.md round 5). MMREG_CONV2D_DECOMP:
-    "1" forces on, "0" forces off, unset = auto (on for TPU backends, off on
-    CPU where XLA's direct Conv3D is the better lowering)."""
+    1.5-2.1x per-conv at the hot shapes (benchmarks/conv2d_decomp_probe.py,
+    PERF.md round 5). The model path accumulates taps in the COMPUTE dtype
+    (bf16: within ~1 ulp of the direct conv's single rounding; int8: int32,
+    bit-exact), z-slabbed under an HBM budget (_conv2d_acc_budget).
+    MMREG_CONV2D_DECOMP: "1" forces on, "0" forces off, unset = auto (on for
+    TPU backends, off on CPU where XLA's direct Conv3D is the better
+    lowering)."""
     import jax
 
     v = os.environ.get("MMREG_CONV2D_DECOMP", "")
     if v in ("0", "1"):
         return v == "1"
     return jax.default_backend() not in ("cpu",)
+
+
+def _conv2d_acc_budget() -> int:
+    """Per-slab accumulator budget for the decomposed conv, in bytes.
+
+    MMREG_CONV2D_ACC_MB (default 2048): single-slab at the flagship widths
+    (full-res 192³ x 64ch f32 = 1.81 GB), 4 z-slabs at the published widths'
+    full-res first conv (6.75 GB f32 would OOM the 15.75 GB HBM alongside the
+    rest of the forward)."""
+    return int(os.environ.get("MMREG_CONV2D_ACC_MB", "2048")) << 20
 
 
 def _fuse_first_conv_enabled() -> bool:
@@ -116,14 +129,25 @@ class ConvBlock(nn.Module):
             and _conv2d_decomp_enabled()
         ):
             # three-Conv2D lowering of the same conv (see _conv2d_decomp_enabled);
-            # params materialize identically via a 1-voxel probe call (DCE'd)
-            from multimodal_registration_tpu.ops.conv3 import conv3d_tap2d
+            # params materialize identically via a 1-voxel probe call (DCE'd).
+            # z-slabbed under an f32-accumulator budget: full-volume f32
+            # partials OOM HBM at the published widths' first conv (2->256 at
+            # 192^3 = 3x6.75 GB) — see conv3d_tap2d_slab.
+            from multimodal_registration_tpu.ops.conv3 import conv3d_tap2d_slab
 
             _ = conv(x[:, :1, :1, :1, :])
             k = conv.variables["params"]["kernel"]
             b = conv.variables["params"]["bias"]
-            y = conv3d_tap2d(
-                x.astype(self.dtype), k.astype(self.dtype), tap_axis=3
+            # acc_dtype == compute dtype: a f32 preferred_element_type with
+            # bf16 operands breaks the conv TRANSPOSE (the f32 cotangent meets
+            # the bf16 kernel -> dtype-mismatch error), and the MXU
+            # accumulates each tap in f32 internally anyway — only the 3-tap
+            # cross-sum rounds in bf16 (~1 ulp vs the direct conv's single
+            # rounding)
+            y = conv3d_tap2d_slab(
+                x.astype(self.dtype), k.astype(self.dtype),
+                out_dtype=self.dtype, acc_dtype=self.dtype,
+                max_acc_bytes=_conv2d_acc_budget(),
             )
             y = y + b.astype(y.dtype)
             return nn.leaky_relu(y, negative_slope=0.2).astype(self.dtype)
@@ -168,13 +192,25 @@ class ConvBlock(nn.Module):
         xq = jnp.clip(
             jnp.round(x.astype(jnp.float32) * (1.0 / a_scale)), -127, 127
         ).astype(jnp.int8)
-        dn = lax.conv_dimension_numbers(
-            xq.shape, kq.shape, ("NXYZC", "XYZIO", "NXYZC")
-        )
-        y = lax.conv_general_dilated(
-            xq, kq, (1, 1, 1), "SAME", dimension_numbers=dn,
-            preferred_element_type=jnp.int32,
-        )
+        if _conv2d_decomp_enabled():
+            # same three-Conv2D lowering as the bf16 path, int32 partials —
+            # exact (integer adds commute, and the slab cast is int32→int32);
+            # measured faster than int8 Conv3D on hardware
+            # (benchmarks/conv2d_decomp_int8_probe.py)
+            from multimodal_registration_tpu.ops.conv3 import conv3d_tap2d_slab
+
+            y = conv3d_tap2d_slab(
+                xq, kq, out_dtype=jnp.int32, acc_dtype=jnp.int32,
+                max_acc_bytes=_conv2d_acc_budget(),
+            )
+        else:
+            dn = lax.conv_dimension_numbers(
+                xq.shape, kq.shape, ("NXYZC", "XYZIO", "NXYZC")
+            )
+            y = lax.conv_general_dilated(
+                xq, kq, (1, 1, 1), "SAME", dimension_numbers=dn,
+                preferred_element_type=jnp.int32,
+            )
         y = y.astype(jnp.float32) * (a_scale * w_scale) + b
         return nn.leaky_relu(y, negative_slope=0.2).astype(self.dtype)
 

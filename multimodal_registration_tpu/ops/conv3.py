@@ -86,3 +86,54 @@ def conv3d_tap2d(x, k, stride: int = 1, out_dtype=jnp.float32, tap_axis: int = 1
         out = out.reshape(b, nout, -(-X // stride), -(-Y // stride), out.shape[-1])
         return jnp.moveaxis(out, 1, 3)
     raise ValueError(f"tap_axis must be 1 (X) or 3 (Z), got {tap_axis}")
+
+
+def conv3d_tap2d_slab(
+    x,
+    k,
+    *,
+    out_dtype,
+    acc_dtype=jnp.float32,
+    max_acc_bytes: int = 2 << 30,
+):
+    """Stride-1 z-tap decomposition with z-slab chunking under an
+    accumulator-bytes budget.
+
+    The plain ``conv3d_tap2d`` keeps up to three full-volume partial sums in
+    ``acc_dtype`` alive at once — at the published widths' first conv
+    (2→256 at 192³) that is 3×6.75 GB f32 and exceeds HBM. Here the output is
+    computed in z slabs sized so one slab's accumulator stays under
+    ``max_acc_bytes``; each slab casts to ``out_dtype`` (the conv's normal
+    output dtype — bf16 in the model) before concatenation, so peak memory is
+    output + one slab's partials. With ``acc_dtype == out_dtype == int32``
+    (the int8 path) the result is bit-identical to the direct int8 Conv3D
+    (integer adds commute).
+    """
+    if k.shape[:3] != (3, 3, 3):
+        raise ValueError(f"conv3d_tap2d_slab expects a 3x3x3 kernel, got {k.shape}")
+    b, X, Y, Z, ci = x.shape
+    co = k.shape[-1]
+    acc_bytes = b * X * Y * Z * co * jnp.dtype(acc_dtype).itemsize
+    n_slabs = max(1, -(-acc_bytes // max_acc_bytes))
+    if n_slabs == 1:
+        return conv3d_tap2d(x, k, out_dtype=acc_dtype, tap_axis=3).astype(out_dtype)
+    step = -(-Z // n_slabs)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
+    outs = []
+    for z0 in range(0, Z, step):
+        nz = min(step, Z - z0)
+        xs = lax.slice_in_dim(xp, z0, z0 + nz + 2, 1, axis=3)
+        acc = None
+        for dz in range(3):
+            sl = lax.slice_in_dim(xs, dz, dz + nz, 1, axis=3)
+            sl = jnp.moveaxis(sl, 3, 1).reshape(b * nz, X, Y, ci)
+            kk = k[:, :, dz]
+            dn = lax.conv_dimension_numbers(sl.shape, kk.shape, ("NHWC", "HWIO", "NHWC"))
+            part = lax.conv_general_dilated(
+                sl, kk, (1, 1), "SAME", dimension_numbers=dn,
+                preferred_element_type=acc_dtype,
+            )
+            acc = part if acc is None else acc + part
+        acc = jnp.moveaxis(acc.reshape(b, nz, X, Y, co), 1, 3)
+        outs.append(acc.astype(out_dtype))
+    return jnp.concatenate(outs, axis=3)

@@ -92,6 +92,25 @@ class TestInt8ConvExact:
                 variables, x
             )
 
+    def test_conv2d_decomp_bit_exact(self, monkeypatch):
+        """MMREG_CONV2D_DECOMP routes the int8 conv through three z-tap
+        Conv2Ds (int32 partials — integer adds commute, so the int32 conv
+        output is IDENTICAL and the f32 epilogue sees the same values)."""
+        rng = np.random.RandomState(4)
+        C = 64
+        x = jnp.asarray(rng.rand(1, 7, 8, 9, C), jnp.float32)
+        k = jnp.asarray(rng.normal(0, 0.05, (3, 3, 3, C, 8)), jnp.float32)
+        variables = {
+            "params": {"conv": {"kernel": k, "bias": jnp.zeros((8,))}},
+            "quant": {"amax": jnp.float32(1.0)},
+        }
+        block = ConvBlock(features=8, dtype=jnp.float32, quant="int8")
+        monkeypatch.setenv("MMREG_CONV2D_DECOMP", "0")
+        ref = np.asarray(block.apply(variables, x))
+        monkeypatch.setenv("MMREG_CONV2D_DECOMP", "1")
+        got = np.asarray(block.apply(variables, x))
+        np.testing.assert_array_equal(ref, got)
+
     def test_tolerance_random_block(self):
         """Random small-weight conv: int8 output tracks f32 within the expected
         per-tensor quantization noise (~1% of the output range)."""
