@@ -55,11 +55,13 @@ def _conv2d_decomp_enabled() -> bool:
 def _conv2d_acc_budget() -> int:
     """Per-slab accumulator budget for the decomposed conv, in bytes.
 
-    MMREG_CONV2D_ACC_MB (default 2048): single-slab at the flagship widths
-    (full-res 192³ x 64ch f32 = 1.81 GB), 4 z-slabs at the published widths'
-    full-res first conv (6.75 GB f32 would OOM the 15.75 GB HBM alongside the
-    rest of the forward)."""
-    return int(os.environ.get("MMREG_CONV2D_ACC_MB", "2048")) << 20
+    MMREG_CONV2D_ACC_MB (default 4096): single-slab at the flagship widths
+    AND at the published widths' full-res first conv (2→256 at 192³ = 3.4 GB
+    bf16 — a 2-slab split there cost ~12 ms, PERF.md round 5g; measured
+    no-OOM and slightly faster for w256 TRAINING too, 0.590 vs 0.602
+    s/step). The budget exists because truly unbounded accumulators OOM
+    (an f32 full-volume partial at those widths is 6.75 GB x3)."""
+    return int(os.environ.get("MMREG_CONV2D_ACC_MB", "4096")) << 20
 
 
 def _fuse_first_conv_enabled() -> bool:
